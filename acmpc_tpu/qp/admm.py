@@ -1,0 +1,275 @@
+"""First-party batched ADMM solver for box-constrained QPs.
+
+    minimize    1/2 x'Px + q'x
+    subject to  l <= Ax <= u
+
+This replaces OSQP — the C library at the heart of the reference's control
+loop (/root/reference/src/acmpc/control/solvers/control.py:88-106,
+solvers/speed_profile.py:61-86) — with a TPU-native design:
+
+* the whole solve is one jitted program: Ruiz equilibration, per-constraint
+  step sizes, a `lax.while_loop` of ADMM chunks with OSQP-style residual
+  checks and adaptive rho (with in-loop batched refactorisation);
+* the KKT x-update uses a dense Cholesky of P + sigma*I + A' diag(rho) A.
+  The control QP is ~250 vars — dense-blocked beats sparse on the MXU, and
+  thousands of scenarios batch into one big `vmap`ped factorisation;
+* fp32 throughout, with one step of iterative refinement on each linear
+  solve to recover OSQP-like (fp64 sparse LDLT) accuracy;
+* every matmul runs at Precision.HIGHEST: on TPU (and some XLA CPU builds)
+  default fp32 matmuls round through bf16, which injects ~1e-3 relative
+  error into the KKT system — fatal for a solver chasing 1e-3 residuals.
+  The 6-pass fp32-equivalent MXU mode is mandatory here, not optional.
+
+Algorithm follows Stellato et al., "OSQP: An Operator Splitting Solver for
+Quadratic Programs" (the public algorithm; no OSQP code is used).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_INF = 1e30  # bounds with |value| >= _INF/1e4 are treated as loose
+_MIN_SCALING = 1e-4
+_MAX_SCALING = 1e4
+
+STATUS_MAX_ITER = 0
+STATUS_SOLVED = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    sigma: float = 1e-6
+    rho: float = 0.1
+    alpha: float = 1.6
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    max_iter: int = 4000
+    check_every: int = 25
+    scaling_iters: int = 10
+    refine_steps: int = 1
+    adaptive_rho: bool = True
+    adaptive_rho_tol: float = 5.0
+
+
+@struct.dataclass
+class QPSolution:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    status: jnp.ndarray  # STATUS_SOLVED / STATUS_MAX_ITER
+    iterations: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+
+    @property
+    def solved(self) -> jnp.ndarray:
+        return self.status == STATUS_SOLVED
+
+
+def _inf_norm(x, axis=None):
+    return jnp.max(jnp.abs(x), axis=axis)
+
+
+def _ruiz_equilibrate(P, q, A, n_iters):
+    """Modified Ruiz equilibration of the KKT matrix [[P, A'], [A, 0]] plus
+    cost normalisation. Returns scaled (P, q, A) and scalings (c, d, e):
+    P_s = c * D P D,  q_s = c * D q,  A_s = E A D."""
+    n = q.shape[-1]
+    m = A.shape[-2]
+    d = jnp.ones(n, P.dtype)
+    e = jnp.ones(m, P.dtype)
+    c = jnp.asarray(1.0, P.dtype)
+
+    def body(_, carry):
+        P, q, A, d, e, c = carry
+        col_norm = jnp.maximum(_inf_norm(P, axis=-2), _inf_norm(A, axis=-2))
+        row_norm = _inf_norm(A, axis=-1)
+        dd = 1.0 / jnp.sqrt(jnp.clip(col_norm, _MIN_SCALING, _MAX_SCALING))
+        ee = 1.0 / jnp.sqrt(jnp.clip(row_norm, _MIN_SCALING, _MAX_SCALING))
+        P = P * dd[:, None] * dd[None, :]
+        q = q * dd
+        A = A * ee[:, None] * dd[None, :]
+        d = d * dd
+        e = e * ee
+        # cost normalisation (OSQP sec. 5.1)
+        p_cols = jnp.mean(_inf_norm(P, axis=-2))
+        g = 1.0 / jnp.clip(
+            jnp.maximum(p_cols, _inf_norm(q)), _MIN_SCALING, _MAX_SCALING
+        )
+        P = P * g
+        q = q * g
+        c = c * g
+        return P, q, A, d, e, c
+
+    P, q, A, d, e, c = jax.lax.fori_loop(
+        0, n_iters, body, (P, q, A, d, e, c), unroll=True
+    )
+    return P, q, A, c, d, e
+
+
+def _rho_vector(rho, l, u):
+    """Per-constraint step size: equality rows get 1e3*rho, loose rows
+    1e-6*rho (OSQP's constraint classification)."""
+    loose = (l <= -_INF / 1e4) & (u >= _INF / 1e4)
+    eq = (u - l) < 1e-6
+    return jnp.where(eq, rho * 1e3, jnp.where(loose, rho * 1e-6, rho))
+
+
+def _factor(P, A, rho_vec, sigma):
+    K = P + sigma * jnp.eye(P.shape[-1], dtype=P.dtype)
+    K = K + (A.T * rho_vec[None, :]) @ A
+    return jnp.linalg.cholesky(K)
+
+
+def _cho_solve(L, b):
+    z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+
+def solve_box_qp(
+    P: jnp.ndarray,
+    q: jnp.ndarray,
+    A: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    cfg: ADMMConfig = ADMMConfig(),
+    x0: jnp.ndarray | None = None,
+    y0: jnp.ndarray | None = None,
+) -> QPSolution:
+    """Solve one box QP. jit-compatible; batch with `jax.vmap`.
+
+    P: (n, n) dense (symmetric); q: (n,); A: (m, n); l, u: (m,).
+    Use +/-jnp.inf (or +/-1e30) for loose bounds.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0)
+
+
+def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
+    dtype = q.dtype
+    n = q.shape[-1]
+    m = l.shape[-1]
+
+    l = jnp.clip(l, -_INF, _INF)
+    u = jnp.clip(u, -_INF, _INF)
+
+    Ps, qs, As, c, d, e = _ruiz_equilibrate(P, q, A, cfg.scaling_iters)
+    ls = e * l
+    us = e * u
+
+    sigma = jnp.asarray(cfg.sigma, dtype)
+
+    x = jnp.zeros(n, dtype) if x0 is None else x0 / d
+    y = jnp.zeros(m, dtype) if y0 is None else c * y0 / e
+    z = jnp.clip(As @ x, ls, us)
+
+    rho0 = jnp.asarray(cfg.rho, dtype)
+
+    def residuals(x, y, z, rho_scalar):
+        """Unscaled residuals + tolerances + adaptive-rho ratio."""
+        Ax = As @ x
+        Px = Ps @ x
+        Aty = As.T @ y
+        # unscale
+        Ax_u = Ax / e
+        z_u = z / e
+        r_prim = _inf_norm(Ax_u - z_u)
+        Px_u = (Px / d) / c
+        Aty_u = (Aty / d) / c
+        q_u = (qs / d) / c
+        r_dual = _inf_norm(Px_u + Aty_u + q_u)
+        eps_prim = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+            _inf_norm(Ax_u), _inf_norm(z_u)
+        )
+        eps_dual = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+            jnp.maximum(_inf_norm(Px_u), _inf_norm(Aty_u)), _inf_norm(q_u)
+        )
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+        # adaptive rho ratio (normalised residuals)
+        prim_n = r_prim / jnp.maximum(
+            jnp.maximum(_inf_norm(Ax_u), _inf_norm(z_u)), 1e-10
+        )
+        dual_n = r_dual / jnp.maximum(
+            jnp.maximum(jnp.maximum(_inf_norm(Px_u), _inf_norm(Aty_u)), _inf_norm(q_u)),
+            1e-10,
+        )
+        ratio = jnp.sqrt(prim_n / jnp.maximum(dual_n, 1e-10))
+        return r_prim, r_dual, converged, ratio
+
+    def admm_chunk(x, z, y, rho_vec, L):
+        """cfg.check_every relaxed ADMM iterations with a fixed factor."""
+
+        def one_iter(_, carry):
+            x, z, y = carry
+            rhs = sigma * x - qs + As.T @ (rho_vec * z - y)
+            xt = _cho_solve(L, rhs)
+            for _ in range(cfg.refine_steps):
+                K_xt = (
+                    Ps @ xt
+                    + sigma * xt
+                    + As.T @ (rho_vec * (As @ xt))
+                )
+                xt = xt + _cho_solve(L, rhs - K_xt)
+            zt = As @ xt
+            x_new = cfg.alpha * xt + (1.0 - cfg.alpha) * x
+            z_relax = cfg.alpha * zt + (1.0 - cfg.alpha) * z
+            z_new = jnp.clip(z_relax + y / rho_vec, ls, us)
+            y_new = y + rho_vec * (z_relax - z_new)
+            return x_new, z_new, y_new
+
+        return jax.lax.fori_loop(0, cfg.check_every, one_iter, (x, z, y))
+
+    rho_vec0 = _rho_vector(rho0, ls, us)
+    L0 = _factor(Ps, As, rho_vec0, sigma)
+
+    def cond(state):
+        _, _, _, _, _, it, done, _, _, _ = state
+        return (~done) & (it < cfg.max_iter)
+
+    def body(state):
+        x, z, y, rho, L, it, done, r_p, r_d, _ = state
+        x, z, y = admm_chunk(x, z, y, _rho_vector(rho, ls, us), L)
+        it = it + cfg.check_every
+        r_p, r_d, converged, ratio = residuals(x, y, z, rho)
+        if cfg.adaptive_rho:
+            tol = cfg.adaptive_rho_tol
+            need_update = (ratio > tol) | (ratio < 1.0 / tol)
+            new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
+            rho = jnp.where(need_update & ~converged, new_rho, rho)
+            L = jnp.where(
+                (need_update & ~converged),
+                _factor(Ps, As, _rho_vector(rho, ls, us), sigma),
+                L,
+            )
+        return (x, z, y, rho, L, it, converged, r_p, r_d, ratio)
+
+    r_p0 = jnp.asarray(jnp.inf, dtype)
+    r_d0 = jnp.asarray(jnp.inf, dtype)
+    init = (
+        x,
+        z,
+        y,
+        rho0,
+        L0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        r_p0,
+        r_d0,
+        jnp.asarray(1.0, dtype),
+    )
+    x, z, y, rho, L, it, done, r_p, r_d, _ = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(done, STATUS_SOLVED, STATUS_MAX_ITER)
+    return QPSolution(
+        x=x * d,
+        y=y * e / c,
+        z=z / e,
+        status=status,
+        iterations=it,
+        r_prim=r_p,
+        r_dual=r_d,
+    )
