@@ -1,0 +1,132 @@
+"""Horizon control-QP assembly and solve.
+
+Builds the exact QP the reference builds with scipy.sparse + OSQP
+(/root/reference/src/acmpc/control/solvers/control.py:11-158), but as one
+dense, statically-shaped jnp program feeding the batched ADMM engine:
+
+variables  [x_0..x_n | u_0..u_{n-1}],  x in R^3 (e_y, e_psi, t), u in R^2
+equalities -x_0 = -x_init ; A_k x_k - x_{k+1} + B_k u_k = B_k u_ref_k - f_k
+box        identity over all variables: track-limit bounds on e_y (widths
+           minus vehicle margin), t >= 0.01, input box with +/-0.1 velocity
+           slack; x_0's e_y pinned to the measured offset
+cost       P = diag(step_cost*n, final_cost, r_term*n); reference for e_y
+           is the centre of the drivable corridor, inputs track
+           (v_ref, kappa_ref)
+
+The reference's per-solve scipy block_diag/kron assembly becomes scatters
+into fixed dense buffers — XLA fuses the whole assembly into the solve, and
+the (248-var at horizon 50) dense factorisation is MXU-shaped, batching
+over thousands of scenarios under vmap.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from acmpc_tpu.dynamics.spatial_bicycle import SpatialBicycleModel, linearise
+from acmpc_tpu.geometry.path import ReferencePath
+from acmpc_tpu.qp.admm import ADMMConfig, QPSolution, solve_box_qp
+
+_INF = 1e30
+NX = 3
+NU = 2
+
+
+def assemble_control_qp(
+    path: ReferencePath,
+    spatial_state: jnp.ndarray,
+    model: SpatialBicycleModel,
+    step_cost: jnp.ndarray,
+    r_term: jnp.ndarray,
+    final_cost: jnp.ndarray,
+):
+    """Return (P, q, A, l, u) for the horizon QP. ``path`` has n waypoints
+    (horizon-1); all shapes static in n."""
+    n = path.n_points
+    dtype = path.xs.dtype
+    n_var = NX * (n + 1) + NU * n
+    n_eq = NX * (n + 1)
+
+    f, A_blocks, B_blocks = linearise(path)
+    u_ref = jnp.stack([path.velocities, path.kappas], axis=-1)  # (n, 2)
+
+    # --- equality rows: [A_x | B_u] ------------------------------------
+    A_eq = jnp.zeros((n_eq, n_var), dtype)
+    diag_idx = jnp.arange(n_eq)
+    A_eq = A_eq.at[diag_idx, diag_idx].set(-1.0)
+    k = jnp.arange(n)
+    rows = (NX * (k + 1))[:, None, None] + jnp.arange(NX)[None, :, None]
+    cols_a = (NX * k)[:, None, None] + jnp.arange(NX)[None, None, :]
+    A_eq = A_eq.at[
+        jnp.broadcast_to(rows, (n, NX, NX)),
+        jnp.broadcast_to(cols_a, (n, NX, NX)),
+    ].add(A_blocks.astype(dtype))
+    rows_b = (NX * (k + 1))[:, None, None] + jnp.arange(NX)[None, :, None]
+    cols_b = (NX * (n + 1) + NU * k)[:, None, None] + jnp.arange(NU)[None, None, :]
+    A_eq = A_eq.at[
+        jnp.broadcast_to(rows_b, (n, NX, NU)),
+        jnp.broadcast_to(cols_b, (n, NX, NU)),
+    ].add(B_blocks.astype(dtype))
+
+    # uq_k = B_k u_ref_k - f_k  (control.py:26-33)
+    uq = (
+        jnp.einsum("kij,kj->ki", B_blocks, u_ref) - f
+    ).reshape(-1).astype(dtype)
+    eq_bound = jnp.concatenate([-spatial_state.astype(dtype), uq])
+
+    # --- box rows (identity) -------------------------------------------
+    x_min = jnp.tile(jnp.asarray([-_INF, -_INF, 0.01], dtype), n + 1)
+    x_max = jnp.tile(jnp.asarray([_INF, _INF, _INF], dtype), n + 1)
+    # pin x_0's e_y to the measured lateral offset (control.py:55-56)
+    x_min = x_min.at[0].set(spatial_state[0])
+    x_max = x_max.at[0].set(spatial_state[0])
+    half_drivable = path.widths / 2.0 - model.margin
+    ey_idx = NX * (k + 1)
+    x_min = x_min.at[ey_idx].set(-half_drivable)
+    x_max = x_max.at[ey_idx].set(half_drivable)
+
+    u_min = jnp.tile(jnp.asarray(model.min_u, dtype), n)
+    u_max = jnp.tile(jnp.asarray(model.max_u, dtype), n)
+    # velocity slack (control.py:139-140)
+    u_min = u_min.at[::NU].add(-0.1)
+    u_max = u_max.at[::NU].add(0.1)
+
+    l = jnp.concatenate([eq_bound, x_min, u_min])
+    u_bnd = jnp.concatenate([eq_bound, x_max, u_max])
+
+    A_box = jnp.eye(n_var, dtype=dtype)
+    A = jnp.concatenate([A_eq, A_box], axis=0)
+
+    # --- cost -----------------------------------------------------------
+    P_diag = jnp.concatenate(
+        [
+            jnp.tile(jnp.asarray(step_cost, dtype), n),
+            jnp.asarray(final_cost, dtype),
+            jnp.tile(jnp.asarray(r_term, dtype), n),
+        ]
+    )
+    P = jnp.diag(P_diag)
+    # state reference = centre of the drivable corridor, which is 0 for the
+    # symmetric bounds above (control.py:61-63) -> state part of q vanishes;
+    # input reference tracks (v_ref, kappa_ref) (control.py:72-79).
+    urs = u_ref.reshape(-1).astype(dtype)
+    q_r = jnp.tile(jnp.asarray(r_term, dtype), n)
+    q = jnp.concatenate(
+        [jnp.zeros(NX * (n + 1), dtype), -q_r * urs]
+    )
+    return P, q, A, l, u_bnd
+
+
+def solve_control_qp(
+    path: ReferencePath,
+    spatial_state: jnp.ndarray,
+    model: SpatialBicycleModel,
+    step_cost,
+    r_term,
+    final_cost,
+    cfg: ADMMConfig = ADMMConfig(),
+) -> QPSolution:
+    P, q, A, l, u = assemble_control_qp(
+        path, spatial_state, model, step_cost, r_term, final_cost
+    )
+    return solve_box_qp(P, q, A, l, u, cfg)

@@ -1,0 +1,276 @@
+"""Spatial MPC: the fused waypoints -> speed QP -> linearise -> control QP
+-> command-extraction pipeline.
+
+TPU-native counterpart of the reference's SpatialMPC
+(/root/reference/src/acmpc/control/spatial_mpc.py:20-217). Where the
+reference mutates a stateful object per solve on one CPU core, this version
+is a pure function ``(MPCState, inputs) -> MPCState`` so that:
+
+* the entire control step is ONE jitted XLA program — no Python between
+  the speed QP, the linearisation and the control QP;
+* scenario batches (`vmap`) and device meshes (`shard_map`) apply to the
+  whole step, not to individual kernels;
+* the reference's infeasibility semantics (keep serving the previous
+  command trajectory, count failures — spatial_mpc.py:213-217) become a
+  `jnp.where` on the carried state, preserving behaviour under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from acmpc_tpu.dynamics.spatial_bicycle import (
+    SpatialBicycleModel,
+    s2t,
+    t2s,
+)
+from acmpc_tpu.geometry.path import ReferencePath, construct_waypoints
+from acmpc_tpu.mpc.control_qp import solve_control_qp
+from acmpc_tpu.qp.admm import ADMMConfig
+from acmpc_tpu.qp.speed_profile import (
+    SpeedProfileConstraints,
+    solve_speed_profile,
+)
+
+# Iteration caps mirror the reference (spatial_mpc.py:16-17)
+MAX_SOLVER_ITERATIONS_MAP = 40000
+MAX_SOLVER_ITERATIONS = 4000
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static per-mode control configuration (racing.control /
+    mapping.control blocks of the reference track YAMLs)."""
+
+    horizon: int
+    step_cost: tuple  # (e_y, e_psi, t)
+    r_term: tuple  # (velocity, steering)
+    final_cost: tuple  # (e_y, e_psi, t)
+    constraints: SpeedProfileConstraints
+    unlocalised_max_speed: float | None = None
+    max_iterations: int = MAX_SOLVER_ITERATIONS
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "MPCConfig":
+        return cls(
+            horizon=cfg["horizon"],
+            step_cost=tuple(cfg["step_cost"]),
+            r_term=tuple(cfg["r_term"]),
+            final_cost=tuple(cfg["final_cost"]),
+            constraints=SpeedProfileConstraints.from_config(
+                cfg["speed_profile_constraints"]
+            ),
+            unlocalised_max_speed=cfg.get("unlocalised_max_speed"),
+        )
+
+
+@struct.dataclass
+class MPCState:
+    """Carried solve state — what the reference keeps as object attributes
+    across ControlProcess iterations."""
+
+    projected_control: jnp.ndarray  # (2, H-1): [velocities; deltas]
+    cum_time: jnp.ndarray  # (H-1,) cumulative time along the horizon
+    prediction: jnp.ndarray  # (H-1, 2) predicted xy
+    velocities: jnp.ndarray  # (H-1,) last speed profile (warm start)
+    infeasibility_counter: jnp.ndarray  # int32
+    solved: jnp.ndarray  # bool: last solve succeeded
+
+
+@struct.dataclass
+class MPCDiagnostics:
+    speed_status: jnp.ndarray
+    speed_iterations: jnp.ndarray
+    control_status: jnp.ndarray
+    control_iterations: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+
+
+class SpatialMPC:
+    """Functional MPC. Construct once per (config, model); call
+    :meth:`get_control` inside jit/vmap/shard_map."""
+
+    def __init__(
+        self,
+        config: MPCConfig,
+        model: SpatialBicycleModel,
+        dtype=jnp.float32,
+    ):
+        self.config = config
+        self.model = model
+        self.dtype = dtype
+        self.nx = 3
+        self.nu = 2
+        self.admm = ADMMConfig(max_iter=config.max_iterations)
+
+    @property
+    def horizon(self) -> int:
+        return self.config.horizon
+
+    @property
+    def delta_max(self) -> float:
+        return self.model.delta_max
+
+    def initial_state(self) -> MPCState:
+        n = self.horizon - 1
+        return MPCState(
+            projected_control=jnp.zeros((2, n), self.dtype),
+            cum_time=jnp.zeros((n,), self.dtype),
+            prediction=jnp.zeros((n, 2), self.dtype),
+            velocities=jnp.zeros((n,), self.dtype),
+            infeasibility_counter=jnp.asarray(0, jnp.int32),
+            solved=jnp.asarray(False),
+        )
+
+    # ------------------------------------------------------------------
+    def construct_waypoints(self, waypoint_coordinates) -> ReferencePath:
+        return construct_waypoints(
+            jnp.asarray(waypoint_coordinates, self.dtype)
+        )
+
+    def compute_map_speed_profile(
+        self,
+        path: ReferencePath,
+        ay_max: float,
+        a_min: float,
+    ) -> ReferencePath:
+        """Full-track speed profile with map-specific lateral/brake limits
+        (reference spatial_mpc.py:60-87): one large banded QP over every
+        map waypoint, startup-only."""
+        constraints = dataclasses.replace(
+            self.config.constraints, ay_max=ay_max, a_min=a_min
+        )
+        sol = solve_speed_profile(
+            path.distances,
+            path.kappas,
+            constraints,
+            v_max_runtime=constraints.v_max,
+            localised=False,
+            use_end_velocity=False,
+            cfg=dataclasses.replace(
+                self.admm, max_iter=MAX_SOLVER_ITERATIONS_MAP
+            ),
+        )
+        velocities = jnp.where(
+            sol.status == 1, sol.velocities, path.velocities
+        )
+        return path.replace(velocities=velocities)
+
+    # ------------------------------------------------------------------
+    def get_control(
+        self,
+        state: MPCState,
+        reference_path: jnp.ndarray,
+        v_max_runtime=None,
+        is_localised=False,
+        offset=0.0,
+    ) -> tuple[MPCState, MPCDiagnostics]:
+        """One MPC solve (reference spatial_mpc.py:170-217).
+
+        reference_path: (H, 3) array of [x, y, width] in the ego/BEV frame
+        (y forward). v_max_runtime: live reference speed (traced scalar).
+        Returns the updated carry (same commands as before on infeasible
+        solves) plus diagnostics.
+        """
+        cfgc = self.config
+        path = self.construct_waypoints(reference_path)
+
+        speed_sol = solve_speed_profile(
+            path.distances,
+            path.kappas,
+            cfgc.constraints,
+            v_max_runtime=v_max_runtime,
+            localised=is_localised,
+            use_end_velocity=True,
+            cfg=self.admm,
+            v0=state.velocities,
+        )
+        # On speed-QP failure the reference leaves velocities at zero and
+        # lets the control QP blow up; we gate the whole step on it instead
+        # (same observable behaviour: previous commands stay live).
+        path = path.replace(velocities=speed_sol.velocities)
+
+        # Initial condition: car at (offset, 0) facing +y in the BEV frame
+        # (spatial_mpc.py:186-189).
+        offset = jnp.asarray(offset, self.dtype)
+        temporal_state = jnp.stack(
+            [offset, jnp.zeros_like(offset), jnp.full_like(offset, jnp.pi / 2)],
+            axis=-1,
+        )
+        spatial_state = t2s(path.state(0), temporal_state)
+
+        control_sol = solve_control_qp(
+            path,
+            spatial_state,
+            self.model,
+            jnp.asarray(cfgc.step_cost, self.dtype),
+            jnp.asarray(cfgc.r_term, self.dtype),
+            jnp.asarray(cfgc.final_cost, self.dtype),
+            cfg=self.admm,
+        )
+
+        n = self.horizon - 1
+        ok = (speed_sol.status == 1) & (control_sol.status == 1)
+
+        # command extraction (spatial_mpc.py:193-212)
+        u_flat = control_sol.x[-n * self.nu :]
+        vels = u_flat[0::2]
+        deltas = jnp.arctan(u_flat[1::2] * self.model.length)
+        projected = jnp.stack([vels, deltas])
+
+        states = control_sol.x[: n * self.nx].reshape(n, self.nx)
+        prediction = s2t(path, states)[:2].T
+        cum_time = states[:, 2]
+
+        new_state = MPCState(
+            projected_control=jnp.where(ok, projected, state.projected_control),
+            cum_time=jnp.where(ok, cum_time, state.cum_time),
+            prediction=jnp.where(ok, prediction, state.prediction),
+            velocities=jnp.where(
+                speed_sol.status == 1, speed_sol.velocities, state.velocities
+            ),
+            infeasibility_counter=jnp.where(
+                ok, 0, state.infeasibility_counter + 1
+            ).astype(jnp.int32),
+            solved=ok,
+        )
+        diags = MPCDiagnostics(
+            speed_status=speed_sol.status,
+            speed_iterations=speed_sol.iterations,
+            control_status=control_sol.status,
+            control_iterations=control_sol.iterations,
+            r_prim=control_sol.r_prim,
+            r_dual=control_sol.r_dual,
+        )
+        return new_state, diags
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def jitted_get_control(self):
+        """jit-compiled single-scenario step."""
+        return jax.jit(self.get_control)
+
+    @functools.cached_property
+    def batched_get_control(self):
+        """jit(vmap) over a leading scenario axis of every argument."""
+        return jax.jit(jax.vmap(self.get_control))
+
+
+def build_mpc(
+    control_config: dict, vehicle, dtype=jnp.float32
+) -> SpatialMPC:
+    """Construct an MPC from a raw config dict + VehicleParams — the
+    counterpart of reference controller.build_mpc (controller.py:19-29)."""
+    cfg = MPCConfig.from_config(control_config)
+    model = SpatialBicycleModel(
+        vehicle=vehicle,
+        min_velocity=cfg.constraints.v_min,
+        max_velocity=cfg.constraints.v_max,
+    )
+    return SpatialMPC(cfg, model, dtype)

@@ -1,0 +1,236 @@
+"""Speed-profile QP solver with banded structure exploited end-to-end.
+
+Reference formulation (/root/reference/src/acmpc/control/solvers/
+speed_profile.py:11-150): maximise per-waypoint velocity subject to
+longitudinal acceleration limits via the finite-difference matrix
+D1 (rows: (v_{i+1}-v_i)/(2*ds_i)) and a curvature-capped velocity box:
+
+    minimize    1/2 ||v||^2 - vmax' v
+    subject to  a_min <= D1 v <= a_max        (n-1 rows)
+                v_lo  <=    v <= v_hi         (n rows)
+
+The KKT x-update matrix P + sigma*I + rho*(D1'D1 + I) is symmetric
+tridiagonal and strictly diagonally dominant, so each ADMM iteration is a
+parallel-cyclic-reduction solve (ops/tridiag.py) — O(log N) depth, no
+factorisation to cache, which also makes adaptive rho free. This scales to
+the full-map profile (~10^4 waypoints, reference iteration cap 40000,
+spatial_mpc.py:16) where a dense solve would be 800MB of matrix.
+
+Two bound constructions mirror the reference:
+* standard (speed_profile.py:26-45): dynamic v_max from sqrt(ay_max/|kappa|)
+  (clamped below ki_min), floor at v_min, +2.0 headroom, optional terminal
+  velocity override;
+* localised (speed_profile.py:131-150): flat v_max (map speeds already
+  encode curvature).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from acmpc_tpu.ops.tridiag import tridiag_solve
+from acmpc_tpu.qp.admm import STATUS_MAX_ITER, STATUS_SOLVED, ADMMConfig
+
+_EPS = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeedProfileConstraints:
+    """Static speed-profile constraint set (configs/<track>.yaml
+    racing.control.speed_profile_constraints in the reference schema)."""
+
+    v_min: float
+    v_max: float
+    a_min: float
+    a_max: float
+    ay_max: float
+    ki_min: float
+    end_velocity: float | None = None
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "SpeedProfileConstraints":
+        return cls(
+            v_min=cfg["v_min"],
+            v_max=cfg["v_max"],
+            a_min=cfg["a_min"],
+            a_max=cfg["a_max"],
+            ay_max=cfg["ay_max"],
+            ki_min=cfg["ki_min"],
+            end_velocity=cfg.get("end_velocity"),
+        )
+
+
+@struct.dataclass
+class SpeedProfileSolution:
+    velocities: jnp.ndarray
+    status: jnp.ndarray
+    iterations: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+
+
+def velocity_upper_bounds(
+    kappas: jnp.ndarray,
+    constraints: SpeedProfileConstraints,
+    v_max_runtime: jnp.ndarray,
+    end_velocity: float | None,
+) -> jnp.ndarray:
+    """Curvature-capped per-waypoint velocity ceiling
+    (reference speed_profile.py:26-45). ``v_max_runtime`` is the live
+    reference speed pushed in by the agent each step."""
+    abs_k = jnp.abs(kappas)
+    v_max_dyn = jnp.sqrt(constraints.ay_max / (abs_k + _EPS))
+    v_max_dyn = jnp.where(abs_k < constraints.ki_min, v_max_runtime, v_max_dyn)
+    v_caps = jnp.minimum(v_max_dyn, v_max_runtime)
+    v_caps = jnp.maximum(constraints.v_min, v_caps) + 2.0
+    if end_velocity is not None:
+        v_caps = v_caps.at[-1].set(end_velocity)
+    return v_caps
+
+
+def solve_speed_profile(
+    distances: jnp.ndarray,
+    kappas: jnp.ndarray,
+    constraints: SpeedProfileConstraints,
+    v_max_runtime: jnp.ndarray | float | None = None,
+    localised: jnp.ndarray | bool = False,
+    use_end_velocity: bool = True,
+    cfg: ADMMConfig = ADMMConfig(),
+    v0: jnp.ndarray | None = None,
+) -> SpeedProfileSolution:
+    """Solve for the reference velocity profile along a path.
+
+    jit-compatible; batch with vmap over leading axes of distances/kappas.
+    ``localised`` selects the flat-ceiling variant (the reference's
+    solver-object switch at spatial_mpc.py:99-104); it may be a traced
+    bool — both bound sets are a handful of vector ops, so we build both
+    and select.
+    """
+    dtype = jnp.asarray(distances).dtype
+    n = kappas.shape[-1]
+    if v_max_runtime is None:
+        v_max_runtime = constraints.v_max
+    v_max_runtime = jnp.asarray(v_max_runtime, dtype)
+
+    end_vel = constraints.end_velocity if use_end_velocity else None
+    v_hi_std = velocity_upper_bounds(kappas, constraints, v_max_runtime, end_vel)
+    v_hi_loc = jnp.full((n,), 1.0, dtype) * v_max_runtime
+    v_hi = jnp.where(jnp.asarray(localised), v_hi_loc, v_hi_std)
+    v_lo = jnp.full((n,), constraints.v_min, dtype)
+    a_lo = jnp.full((n - 1,), constraints.a_min, dtype)
+    a_hi = jnp.full((n - 1,), constraints.a_max, dtype)
+    q = -v_hi
+
+    inv2d = 1.0 / (2.0 * distances[..., : n - 1])
+
+    def A_mul(v):
+        acc = (v[..., 1:] - v[..., :-1]) * inv2d
+        return acc, v
+
+    def AT_mul(w_acc, w_vel):
+        g = jnp.zeros_like(w_vel)
+        g = g.at[..., :-1].add(-w_acc * inv2d)
+        g = g.at[..., 1:].add(w_acc * inv2d)
+        return g + w_vel
+
+    sigma = jnp.asarray(cfg.sigma, dtype)
+    alpha = cfg.alpha
+
+    def K_parts(rho):
+        """Tridiagonal P + sigma*I + rho*(D1'D1 + I)."""
+        w = inv2d**2
+        diag = 1.0 + sigma + rho
+        diag = diag + rho * jnp.concatenate([w, jnp.zeros_like(w[..., :1])], -1)
+        diag = diag + rho * jnp.concatenate([jnp.zeros_like(w[..., :1]), w], -1)
+        off = -rho * w  # entries (j, j+1), j = 0..n-2
+        sup = jnp.concatenate([off, jnp.zeros_like(off[..., :1])], -1)
+        sub = jnp.concatenate([jnp.zeros_like(off[..., :1]), off], -1)
+        return sub, diag, sup
+
+    x = jnp.zeros((n,), dtype) if v0 is None else jnp.asarray(v0, dtype)
+    za, zv = A_mul(x)
+    za = jnp.clip(za, a_lo, a_hi)
+    zv = jnp.clip(zv, v_lo, v_hi)
+    ya = jnp.zeros_like(za)
+    yv = jnp.zeros_like(zv)
+    rho0 = jnp.asarray(cfg.rho, dtype)
+
+    def residuals(x, za, zv, ya, yv):
+        Axa, Axv = A_mul(x)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs(Axa - za)), jnp.max(jnp.abs(Axv - zv))
+        )
+        Aty = AT_mul(ya, yv)
+        r_dual = jnp.max(jnp.abs(x + q + Aty))
+        ax_n = jnp.maximum(jnp.max(jnp.abs(Axa)), jnp.max(jnp.abs(Axv)))
+        z_n = jnp.maximum(jnp.max(jnp.abs(za)), jnp.max(jnp.abs(zv)))
+        eps_prim = cfg.eps_abs + cfg.eps_rel * jnp.maximum(ax_n, z_n)
+        d_n = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(x)), jnp.max(jnp.abs(Aty))),
+            jnp.max(jnp.abs(q)),
+        )
+        eps_dual = cfg.eps_abs + cfg.eps_rel * d_n
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+        prim_n = r_prim / jnp.maximum(jnp.maximum(ax_n, z_n), 1e-10)
+        dual_n = r_dual / jnp.maximum(d_n, 1e-10)
+        ratio = jnp.sqrt(prim_n / jnp.maximum(dual_n, 1e-10))
+        return r_prim, r_dual, converged, ratio
+
+    def chunk(x, za, zv, ya, yv, rho):
+        sub, diag, sup = K_parts(rho)
+
+        def one_iter(_, carry):
+            x, za, zv, ya, yv = carry
+            rhs = sigma * x - q + AT_mul(rho * za - ya, rho * zv - yv)
+            xt = tridiag_solve(sub, diag, sup, rhs)
+            zta, ztv = A_mul(xt)
+            x_new = alpha * xt + (1.0 - alpha) * x
+            zra = alpha * zta + (1.0 - alpha) * za
+            zrv = alpha * ztv + (1.0 - alpha) * zv
+            za_new = jnp.clip(zra + ya / rho, a_lo, a_hi)
+            zv_new = jnp.clip(zrv + yv / rho, v_lo, v_hi)
+            ya_new = ya + rho * (zra - za_new)
+            yv_new = yv + rho * (zrv - zv_new)
+            return x_new, za_new, zv_new, ya_new, yv_new
+
+        return jax.lax.fori_loop(0, cfg.check_every, one_iter, (x, za, zv, ya, yv))
+
+    def cond(state):
+        return (~state[7]) & (state[6] < cfg.max_iter)
+
+    def body(state):
+        x, za, zv, ya, yv, rho, it, done, r_p, r_d = state
+        x, za, zv, ya, yv = chunk(x, za, zv, ya, yv, rho)
+        it = it + cfg.check_every
+        r_p, r_d, converged, ratio = residuals(x, za, zv, ya, yv)
+        if cfg.adaptive_rho:
+            tol = cfg.adaptive_rho_tol
+            need = (ratio > tol) | (ratio < 1.0 / tol)
+            rho = jnp.where(
+                need & ~converged, jnp.clip(rho * ratio, 1e-6, 1e6), rho
+            )
+        return (x, za, zv, ya, yv, rho, it, converged, r_p, r_d)
+
+    init = (
+        x,
+        za,
+        zv,
+        ya,
+        yv,
+        rho0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),
+    )
+    x, za, zv, ya, yv, rho, it, done, r_p, r_d = jax.lax.while_loop(
+        cond, body, init
+    )
+    status = jnp.where(done, STATUS_SOLVED, STATUS_MAX_ITER)
+    return SpeedProfileSolution(
+        velocities=x, status=status, iterations=it, r_prim=r_p, r_dual=r_d
+    )

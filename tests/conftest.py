@@ -1,11 +1,17 @@
-"""Test configuration: force an 8-device virtual CPU platform BEFORE jax
-initialises, so sharding/mesh tests run without TPU hardware."""
+"""Test configuration: force an 8-device virtual CPU platform BEFORE any
+test imports jax, so sharding/mesh tests run hermetically without TPU
+hardware.
+
+Note: this image presets JAX_PLATFORMS=axon (TPU-tunnel backend) and a
+sitecustomize that registers it, so plain env vars are not enough — the
+config API must override the platform list.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,43 @@
+import pathlib
+
+import pytest
+
+from acmpc_tpu.config import load_config
+
+CONFIG_DIR = pathlib.Path(__file__).resolve().parent.parent / "configs"
+TRACKS = [
+    "monza", "spa", "silverstone", "nordschleife",
+    "vallelunga", "bathurst", "yas_marina",
+]
+
+
+@pytest.mark.parametrize("track", TRACKS)
+def test_load_all_track_configs(track):
+    cfg = load_config(CONFIG_DIR / f"{track}.yaml")
+    assert cfg.experiment == f"{track}_audi"
+    assert cfg.racing_control.horizon == 50
+    assert cfg.mapping_control.horizon in (50, 100)
+    assert cfg.racing_control.constraints.v_max == 84.0
+    assert cfg.vehicle.wheelbase > 0
+    assert cfg.localisation.n_particles == 500
+
+
+def test_monza_values_match_reference():
+    cfg = load_config(CONFIG_DIR / "monza.yaml")
+    rc = cfg.racing_control
+    assert rc.step_cost == (4.0e-3, 5.0e-2, 0.0)
+    assert rc.r_term == (1.0e-2, 10.0)
+    assert rc.final_cost == (1.0, 0.0, 0.1)
+    assert rc.constraints.ay_max == 5.5
+    assert rc.unlocalised_max_speed == 28
+    assert cfg.map_speed_profile.ay_max == 7.0
+    assert cfg.map_speed_profile.a_min == -0.15
+    mc = cfg.mapping_control
+    assert mc.horizon == 100
+    assert mc.constraints.v_max == 20.0
+
+
+def test_vallelunga_no_end_velocity():
+    cfg = load_config(CONFIG_DIR / "vallelunga.yaml")
+    assert cfg.racing_control.constraints.end_velocity is None
+    assert cfg.mapping_control.horizon == 50
