@@ -117,6 +117,13 @@ def assemble_control_qp(
     return P, q, A, l, u_bnd
 
 
+def control_qp_sizes(horizon: int) -> tuple[int, int]:
+    """(n_var, n_constraints) for a given MPC horizon."""
+    n = horizon - 1
+    n_var = NX * (n + 1) + NU * n
+    return n_var, NX * (n + 1) + n_var
+
+
 def solve_control_qp(
     path: ReferencePath,
     spatial_state: jnp.ndarray,
@@ -125,8 +132,14 @@ def solve_control_qp(
     r_term,
     final_cost,
     cfg: ADMMConfig = ADMMConfig(),
+    x0: jnp.ndarray | None = None,
+    y0: jnp.ndarray | None = None,
 ) -> QPSolution:
+    """Assemble and solve. ``x0``/``y0`` warm-start the ADMM iterates —
+    the counterpart of OSQP's implicit warm start across
+    ``problem.update()`` calls (reference control.py:99-106), which is what
+    keeps the reference's re-solve loop fast between frames."""
     P, q, A, l, u = assemble_control_qp(
         path, spatial_state, model, step_cost, r_term, final_cost
     )
-    return solve_box_qp(P, q, A, l, u, cfg)
+    return solve_box_qp(P, q, A, l, u, cfg, x0=x0, y0=y0)

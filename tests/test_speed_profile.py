@@ -128,3 +128,24 @@ def test_matches_scipy_reference():
     np.testing.assert_allclose(
         np.asarray(sol.velocities), res.x, rtol=2e-2, atol=5e-2
     )
+
+
+def test_scan_matches_admm():
+    """Exact (min,+)-scan solution vs the independent ADMM solver."""
+    from acmpc_tpu.qp.speed_profile import solve_speed_profile_admm
+
+    for radius, n in [(25.0, 40), (60.0, 80)]:
+        path = _path(get_hairpin_track(radius, n))
+        exact = jax.jit(
+            lambda d, k: solve_speed_profile(d, k, CONSTRAINTS)
+        )(path.distances, path.kappas)
+        admm = jax.jit(
+            lambda d, k: solve_speed_profile_admm(d, k, CONSTRAINTS)
+        )(path.distances, path.kappas)
+        assert int(exact.status) == 1 and int(admm.status) == 1
+        np.testing.assert_allclose(
+            np.asarray(exact.velocities),
+            np.asarray(admm.velocities),
+            rtol=5e-3,
+            atol=2e-2,
+        )
