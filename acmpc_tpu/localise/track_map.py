@@ -1,0 +1,98 @@
+"""Track map container and IO.
+
+The reference stores maps as pickled ``.npy`` dicts with outside/inside
+boundary keys renamed to left/right on load plus near-duplicate removal
+(/root/reference/src/acmpc/utils/load.py:9-35, mapping/map_maker.py:169-177).
+This framework's native format is a plain ``.npz`` with ``centre``, ``left``,
+``right`` arrays; the reference's pickled ``.npy`` dict is also readable for
+asset compatibility.
+
+On device the map is a pytree of fixed-shape arrays. Nearest-neighbour
+queries are brute-force distance argmins — on TPU a (K, M) distance matrix
+is matmul-shaped work, which beats pointer-chasing KD-trees (the reference
+uses SciPy cKDTree, utils/kdtree.py:1-14) for the 10^3-10^4-point maps this
+system uses.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+def _remove_near_duplicates(points: np.ndarray, threshold: float = 1e-4) -> np.ndarray:
+    """Drop consecutive near-duplicate points (reference load.py:28-35)."""
+    if len(points) < 2:
+        return points
+    keep = np.ones(len(points), dtype=bool)
+    diffs = np.linalg.norm(np.diff(points, axis=0), axis=1)
+    keep[1:] = diffs > threshold
+    return points[keep]
+
+
+@struct.dataclass
+class TrackMap:
+    """Fixed-shape track map: three boundary polylines + cached squared
+    norms for brute-force NN."""
+
+    centre: jnp.ndarray  # (Mc, 2)
+    left: jnp.ndarray  # (Ml, 2)
+    right: jnp.ndarray  # (Mr, 2)
+
+    @property
+    def n_centre(self) -> int:
+        return self.centre.shape[0]
+
+    @property
+    def average_spacing(self) -> jnp.ndarray:
+        d = jnp.linalg.norm(self.centre[1:] - self.centre[:-1], axis=1)
+        return jnp.mean(d)
+
+
+def nearest_point(points: jnp.ndarray, polyline: jnp.ndarray):
+    """Brute-force nearest neighbour: points (..., K, 2) against polyline
+    (M, 2). Returns (distances (..., K), indices (..., K)).
+
+    d^2 = |p|^2 - 2 p.m + |m|^2 — the cross term is a (K, M) matmul that
+    lands on the MXU; the argmin is one reduction.
+    """
+    p2 = jnp.sum(points**2, axis=-1, keepdims=True)  # (K, 1)
+    m2 = jnp.sum(polyline**2, axis=-1)  # (M,)
+    cross = points @ polyline.T  # (K, M)
+    d2 = p2 - 2.0 * cross + m2[None, :]
+    idx = jnp.argmin(d2, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[..., None], -1)[..., 0], 0.0))
+    return dist, idx
+
+
+def load_track_map(path: str | pathlib.Path) -> TrackMap:
+    """Load a map from .npz (native) or the reference's pickled .npy dict
+    (outside->left, inside->right renames, reference load.py:9-27)."""
+    path = pathlib.Path(path)
+    if path.suffix == ".npz":
+        data = np.load(path)
+        raw = {k: np.asarray(data[k]) for k in ("centre", "left", "right")}
+    else:
+        d = np.load(path, allow_pickle=True).item()
+        raw = {}
+        raw["left"] = np.asarray(d.get("left", d.get("outside")))
+        raw["right"] = np.asarray(d.get("right", d.get("inside")))
+        raw["centre"] = np.asarray(d.get("centre"))
+    clean = {k: _remove_near_duplicates(v[:, :2].astype(np.float32)) for k, v in raw.items()}
+    return TrackMap(
+        centre=jnp.asarray(clean["centre"]),
+        left=jnp.asarray(clean["left"]),
+        right=jnp.asarray(clean["right"]),
+    )
+
+
+def save_track_map(path: str | pathlib.Path, centre, left, right):
+    np.savez(
+        path,
+        centre=np.asarray(centre, np.float32),
+        left=np.asarray(left, np.float32),
+        right=np.asarray(right, np.float32),
+    )

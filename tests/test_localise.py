@@ -1,0 +1,208 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acmpc_tpu.config.schema import LocalisationConfig
+from acmpc_tpu.localise import (
+    Localiser,
+    PFConfig,
+    ParticleFilter,
+    TrackMap,
+    load_track_map,
+    save_track_map,
+)
+from acmpc_tpu.localise.track_map import nearest_point
+
+
+def make_asymmetric_map(m=1500):
+    """Closed loop with no rotational symmetry so observations localise."""
+    theta = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta) + 7.0 * np.cos(5 * theta)
+    centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+    # boundary via normals
+    d = np.roll(centre, -1, axis=0) - centre
+    t = d / np.linalg.norm(d, axis=1, keepdims=True)
+    normal = np.stack([-t[:, 1], t[:, 0]], axis=1)
+    left = centre + 5.0 * normal
+    right = centre - 5.0 * normal
+    return TrackMap(
+        centre=jnp.asarray(centre, jnp.float32),
+        left=jnp.asarray(left, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+    )
+
+
+def observation_from_pose(track_map, pose, n_points=40):
+    """Synthesise the BEV track-limit observation a car at ``pose`` would
+    see, matching the filter's slicing semantics."""
+    pos, yaw = pose[:2], pose[2]
+    angle = -yaw + np.pi / 2
+    R = np.array(
+        [[np.cos(angle), -np.sin(angle)], [np.sin(angle), np.cos(angle)]]
+    )
+    out = []
+    for poly in (np.asarray(track_map.left), np.asarray(track_map.right)):
+        d = np.linalg.norm(poly - pos, axis=1)
+        i0 = int(np.argmin(d))
+        idx = (i0 + np.arange(n_points)) % len(poly)
+        world = poly[idx]
+        bev = (R @ (world - pos).T).T
+        out.append(bev.astype(np.float32))
+    return out  # [left_bev, right_bev]
+
+
+CFG = PFConfig(
+    n_particles=400,
+    n_converged_particles=400,
+    threshold_error=20.0,
+    convergence_distance=50.0,
+)
+
+
+def test_reset_seeds_along_centreline():
+    tm = make_asymmetric_map()
+    pf = ParticleFilter(CFG, tm)
+    state = pf.reset(jax.random.PRNGKey(0))
+    assert state.states.shape == (400, 3)
+    # particles lie on the centreline
+    d, _ = nearest_point(state.states[:, :2], tm.centre)
+    assert float(jnp.max(d)) < 1.0
+    assert not bool(state.converged)
+
+
+def test_predict_moves_particles():
+    tm = make_asymmetric_map()
+    pf = ParticleFilter(CFG, tm)
+    state = pf.reset(jax.random.PRNGKey(0))
+    new = jax.jit(pf.predict)(state, jnp.float32(0.0), jnp.float32(10.0), jnp.float32(0.1))
+    move = jnp.linalg.norm(new.states[:, :2] - state.states[:, :2], axis=1)
+    assert 0.5 < float(move.mean()) < 1.5  # ~1 m at 10 m/s for 0.1 s
+
+
+def _pad(o, P):
+    buf = np.zeros((P, 2), np.float32)
+    m = np.zeros((P,), bool)
+    buf[: len(o)] = o
+    m[: len(o)] = True
+    return jnp.asarray(buf), jnp.asarray(m)
+
+
+def test_filter_converges_to_true_pose():
+    """Drive the true car along the track; particles at geometrically
+    inconsistent locations accumulate error and get culled/resampled.
+    Sharp test-scale thresholds speed up discrimination (the shipped
+    configs use sigma=10 for hour-long sessions)."""
+    tm = make_asymmetric_map()
+    cfg = dataclasses.replace(
+        CFG, score_sigma=1.0, threshold_error=4.0, convergence_distance=30.0
+    )
+    pf = ParticleFilter(cfg, tm, wheelbase=2.65)
+    state = pf.reset(jax.random.PRNGKey(1))
+
+    centre = np.asarray(tm.centre)
+    m = len(centre)
+    update = jax.jit(pf.update)
+    predict = jax.jit(pf.predict)
+
+    idx = 300
+    spacing = float(np.linalg.norm(centre[301] - centre[300]))
+    v = 20.0
+    dt = 0.1
+    step_pts = max(1, int(round(v * dt / spacing)))
+    pose = None
+    for k in range(100):
+        i = (idx + k * step_pts) % m
+        p0, p1 = centre[i], centre[(i + 1) % m]
+        yaw = np.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+        pose = np.array([p0[0], p0[1], yaw], np.float32)
+        left, right = observation_from_pose(tm, pose)
+        ol, ml_ = _pad(left, cfg.max_observation_points)
+        orr, mr = _pad(right, cfg.max_observation_points)
+        state = update(state, ol, ml_, orr, mr)
+        # true yaw rate over this step -> equivalent tyre angle
+        i2 = (i + step_pts) % m
+        p2, p3 = centre[i2], centre[(i2 + 1) % m]
+        yaw2 = np.arctan2(p3[1] - p2[1], p3[0] - p2[0])
+        dyaw = (yaw2 - yaw + np.pi) % (2 * np.pi) - np.pi
+        delta = np.arctan(2.65 * (dyaw / dt) / v)
+        state = predict(
+            state, jnp.float32(delta), jnp.float32(v), jnp.float32(dt)
+        )
+
+    est = np.asarray(pf.estimate(state))
+    err = np.linalg.norm(est[:2] - pose[:2])
+    # one predict step beyond the last update; allow motion-scale slack
+    assert err < 20.0, f"estimate error {err} m, est={est}, true={pose}"
+
+
+def test_population_collapse_triggers_reset():
+    tm = make_asymmetric_map()
+    cfg = dataclasses.replace(CFG, threshold_error=0.01)  # impossible bar
+    pf = ParticleFilter(cfg, tm)
+    state = pf.reset(jax.random.PRNGKey(2))
+    # garbage observation -> all particles invalid -> reset
+    P = cfg.max_observation_points
+    obs = jnp.ones((P, 2), jnp.float32) * 1e3
+    mask = jnp.ones((P,), bool)
+    new = jax.jit(pf.update)(state, obs, mask, obs, mask)
+    # reset re-seeds every particle on the centreline
+    d, _ = nearest_point(new.states[:, :2], tm.centre)
+    assert float(jnp.max(d)) < 1.0
+    assert bool(new.valid.all())
+
+
+def test_localiser_facade_roundtrip(tmp_path):
+    tm = make_asymmetric_map()
+    save_track_map(
+        tmp_path / "map.npz", tm.centre, tm.left, tm.right
+    )
+    cfg = LocalisationConfig(
+        use_localisation=True,
+        n_particles=400,
+        n_converged_particles=400,
+        sampling_noise_xy=1.1,
+        sampling_noise_yaw_deg=3.0,
+        control_noise_velocity=0.25,
+        control_noise_yaw_deg=2.0,
+        threshold_offset=10,
+        threshold_rotation_deg=90,
+        threshold_minimum_particles=20,
+        threshold_track_limit=4.0,
+        score_mean=0,
+        score_sigma=1.0,
+        convergence_max_distance=50,
+        convergence_max_angle_deg=90,
+    )
+    loc = Localiser(cfg, str(tmp_path / "map.npz"))
+    centre = np.asarray(tm.centre)
+    m = len(centre)
+    spacing = float(np.linalg.norm(centre[701] - centre[700]))
+    v, dt = 20.0, 0.1
+    step_pts = max(1, int(round(v * dt / spacing)))
+    from acmpc_tpu.dynamics.vehicle import VehicleParams
+
+    veh = VehicleParams()
+    pose = None
+    for k in range(100):
+        i = (700 + k * step_pts) % m
+        p0, p1 = centre[i], centre[(i + 1) % m]
+        yaw = np.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+        pose = np.array([p0[0], p0[1], yaw], np.float32)
+        left, right = observation_from_pose(tm, pose)
+        loc.observe_tracklimits(left, right)
+        i2 = (i + step_pts) % m
+        p2, p3 = centre[i2], centre[(i2 + 1) % m]
+        yaw2 = np.arctan2(p3[1] - p2[1], p3[0] - p2[0])
+        dyaw = (yaw2 - yaw + np.pi) % (2 * np.pi) - np.pi
+        delta = np.arctan(veh.wheelbase * (dyaw / dt) / v)
+        steering_input = -delta / veh.max_steering_angle
+        loc.step((steering_input, 0.0, v), dt=dt)
+    est = loc.estimated_position
+    err = np.linalg.norm(est[:2] - pose[:2])
+    assert err < 25.0, f"facade estimate error {err} m"
+    final_i = (700 + 99 * step_pts) % m
+    di = abs(loc.estimated_map_index - final_i)
+    assert min(di, m - di) < 60
