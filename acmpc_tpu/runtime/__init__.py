@@ -12,3 +12,9 @@ __all__ = [
     "TemporalCommandSelector",
     "ThrottlePID",
 ]
+from acmpc_tpu.runtime.agent import Agent
+from acmpc_tpu.runtime.controller import Controller
+from acmpc_tpu.runtime.mailbox import Mailbox
+from acmpc_tpu.runtime.sim import SimulatorInterface, SyntheticSimulator
+
+__all__ += ["Agent", "Controller", "Mailbox", "SimulatorInterface", "SyntheticSimulator"]

@@ -1,0 +1,96 @@
+"""End-to-end agent test: the full perception -> MPC -> actuation loop
+driving the synthetic simulator around a track, sim-free — the
+deterministic harness the reference lacks (SURVEY.md §4)."""
+
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+
+from acmpc_tpu.config import load_config
+from acmpc_tpu.localise.track_map import save_track_map
+from acmpc_tpu.perception.camera import CameraInfo
+from acmpc_tpu.runtime import Agent, SyntheticSimulator
+from test_localise import make_asymmetric_map
+
+
+@pytest.fixture(scope="module")
+def small_cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("agent")
+    tm = make_asymmetric_map()
+    map_path = str(tmp / "track.npz")
+    save_track_map(map_path, tm.centre, tm.left, tm.right)
+
+    cfg = load_config("configs/monza.yaml")
+    # shrink for test speed: small camera, short horizon, no localisation
+    cfg = dataclasses.replace(
+        cfg,
+        perception=dataclasses.replace(
+            cfg.perception,
+            image_width=320,
+            image_height=192,
+            n_rows_to_remove_bonnet=160,
+            n_polyfit_points=200,
+        ),
+        racing_control=dataclasses.replace(
+            cfg.racing_control,
+            horizon=20,
+            constraints=dataclasses.replace(
+                cfg.racing_control.constraints, v_max=30.0
+            ),
+        ),
+        localisation=dataclasses.replace(
+            cfg.localisation, use_localisation=False
+        ),
+        map_path=map_path,
+    )
+    return cfg, tm
+
+
+def test_agent_drives_the_synthetic_track(small_cfg):
+    cfg, tm = small_cfg
+    camera = CameraInfo.from_config(cfg.perception)
+    sim = SyntheticSimulator(
+        tm, camera, dt=0.05, start_index=50, half_width=5.0
+    )
+    agent = Agent(cfg, sim, use_oracle_perception=True)
+    try:
+        obs = sim.reset()
+        # first behaviour call kicks perception + racing setup
+        agent.behaviour(obs)
+        assert agent.controller.wait_for_first_command(timeout=180), (
+            "control thread never published"
+        )
+
+        centre = np.asarray(tm.centre)
+        max_offtrack = 0.0
+        for step in range(150):
+            action = agent.behaviour(obs)
+            assert action.shape == (3,)
+            obs = sim.step(action)
+            d = np.linalg.norm(centre - sim.pose[:2], axis=1).min()
+            max_offtrack = max(max_offtrack, d)
+        assert sim.distance > 50.0, f"car barely moved: {sim.distance:.1f} m"
+        assert max_offtrack < 5.0, f"car left the track: {max_offtrack:.2f} m"
+        # the agent accelerates toward the speed profile
+        assert sim.v > 10.0, f"never accelerated: v={sim.v:.1f}"
+    finally:
+        agent.teardown()
+
+
+def test_mailbox_latest_wins():
+    from acmpc_tpu.runtime import Mailbox
+
+    box = Mailbox()
+    assert box.is_stale(0.1)
+    box.post(1)
+    box.post(2)
+    value, version, _ = box.read()
+    assert value == 2 and version == 2
+    value, version, _ = box.read_fresh(0, timeout=0.1)
+    assert value == 2
+    # timeout path returns stale value without blocking forever
+    t0 = time.monotonic()
+    value, version, _ = box.read_fresh(version, timeout=0.05)
+    assert time.monotonic() - t0 < 1.0
