@@ -1,0 +1,188 @@
+"""Tests for the offline tooling: localisation benchmark replay, raceline
+calculator, Pacejka model, recorder, dashboard rendering, monitors."""
+
+import numpy as np
+import pytest
+
+from test_localise import make_asymmetric_map, observation_from_pose
+
+
+def test_benchmark_localisation_replay(tmp_path):
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.localise.benchmarking import (
+        BenchmarkLocalisation,
+        LocalisationRecorder,
+    )
+    from acmpc_tpu.localise.track_map import save_track_map
+
+    tm = make_asymmetric_map()
+    map_path = str(tmp_path / "map.npz")
+    save_track_map(map_path, tm.centre, tm.left, tm.right)
+
+    # synthesize a recording by driving the true car
+    rec = LocalisationRecorder(str(tmp_path / "rec"))
+    centre = np.asarray(tm.centre)
+    m = len(centre)
+    spacing = float(np.linalg.norm(centre[1] - centre[0]))
+    v, dt = 20.0, 0.1
+    step_pts = max(1, int(round(v * dt / spacing)))
+    t = 0.0
+    from acmpc_tpu.dynamics.vehicle import VehicleParams
+
+    veh = VehicleParams()
+    for k in range(120):
+        i = (40 + k * step_pts) % m
+        p0, p1 = centre[i], centre[(i + 1) % m]
+        yaw = np.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+        pose = np.array([p0[0], p0[1], yaw], np.float32)
+        left, right = observation_from_pose(tm, pose)
+        rec.record_observation(t, left, right)
+        i2 = (i + step_pts) % m
+        p2, p3 = centre[i2], centre[(i2 + 1) % m]
+        yaw2 = np.arctan2(p3[1] - p2[1], p3[0] - p2[0])
+        dyaw = (yaw2 - yaw + np.pi) % (2 * np.pi) - np.pi
+        delta = np.arctan(veh.wheelbase * (dyaw / dt) / v)
+        steering = -delta / veh.max_steering_angle
+        # game_pose layout: [x_game, y, z, yaw] with x negated
+        rec.record_control(
+            t + dt / 2, (steering, 0.0, v), [-pose[0], 0.0, pose[1], pose[2]]
+        )
+        t += dt
+    rec.save()
+
+    import dataclasses
+
+    cfg = load_config("configs/monza.yaml").localisation
+    cfg = dataclasses.replace(
+        cfg, threshold_track_limit=4.0, score_sigma=1.0, n_particles=400,
+        n_converged_particles=400,
+    )
+    bench = BenchmarkLocalisation(
+        data_path=str(tmp_path / "rec"),
+        map_path=map_path,
+        localisation_cfg=cfg,
+    )
+    summary = bench.run()
+    assert summary["n_steps"] == 120
+    assert summary["n_observations"] == 120
+    assert summary["percent_localised"] >= 0.0
+    assert np.isfinite(summary["step_p50_ms"])
+
+
+def test_raceline_cuts_corners():
+    from acmpc_tpu.utils.raceline import calculate_raceline, menger_curvature
+    import jax.numpy as jnp
+
+    tm = make_asymmetric_map(600)
+    centre = np.asarray(tm.centre)
+    raceline = calculate_raceline(
+        centre, half_width=5.0, margin=0.5
+    )
+    assert raceline.shape == centre.shape
+    # raceline stays inside the corridor
+    offsets = np.linalg.norm(raceline - centre, axis=1)
+    assert offsets.max() <= 4.6
+    # and is smoother than the centreline
+    k_centre = np.abs(np.asarray(menger_curvature(jnp.asarray(centre)))).mean()
+    k_race = np.abs(np.asarray(menger_curvature(jnp.asarray(raceline)))).mean()
+    assert k_race < k_centre
+
+
+def test_pacejka_straight_line_accelerates():
+    from acmpc_tpu.dynamics.pacejka import DynamicBicycleModel
+
+    model = DynamicBicycleModel()
+    state = np.array([0.0, 0.0, 0.0, 10.0, 0.0, 0.0])
+    controls = np.tile(np.array([0.0, 1.0]), (40, 1))  # full throttle
+    traj = np.asarray(model.rollout(state, controls, dt=0.05))
+    assert traj[-1, 3] > 10.5  # vx grows
+    assert abs(traj[-1, 1]) < 1.0  # stays straight
+    # steering curves the trajectory
+    controls[:, 0] = 0.1
+    traj2 = np.asarray(model.rollout(state, controls, dt=0.05))
+    assert abs(traj2[-1, 1]) > 1.0
+
+
+def test_recorder_writes_samples(tmp_path):
+    from acmpc_tpu.recording import DataRecorder
+
+    rec = DataRecorder(str(tmp_path), n_image_samples=3)
+    obs = {
+        "CameraFrontRGB": np.zeros((32, 32, 3), np.uint8),
+        "CameraFrontSegm": np.zeros((32, 32), np.uint8),
+        "full_pose": {"velocity": 12.0},
+        "tracks": {
+            "centre": np.zeros((5, 2)),
+            "left": np.zeros((5, 2)),
+            "right": np.zeros((5, 2)),
+        },
+    }
+    for _ in range(3):
+        rec.maybe_record_data(obs, 0.05, 0.1, 0.5)
+    assert not rec.enabled  # capped
+    assert (tmp_path / "datacollection" / "commands" / "commands.json").exists()
+    assert len(list((tmp_path / "datacollection" / "images").glob("*.png"))) >= 2
+
+
+def test_dashboard_render_composites():
+    from acmpc_tpu.dashboard.render import (
+        compose_dashboard,
+        render_bev,
+        render_semantics,
+        render_world_map,
+    )
+
+    tm = make_asymmetric_map(300)
+    tracks = {
+        "left": np.random.uniform(-10, 10, (50, 2)),
+        "right": np.random.uniform(-10, 10, (50, 2)),
+        "centre": np.random.uniform(-10, 10, (50, 2)),
+    }
+    bev = render_bev(tracks, np.random.uniform(-10, 10, (20, 2)))
+    assert bev.shape == (400, 400, 3)
+    world = render_world_map(
+        {
+            "centre": np.asarray(tm.centre),
+            "left": np.asarray(tm.left),
+            "right": np.asarray(tm.right),
+        },
+        np.random.uniform(-100, 100, (100, 3)),
+        np.array([0.0, 0.0, 0.0]),
+        np.array([10.0, 10.0, 0.0]),
+    )
+    assert world.shape == (400, 400, 3)
+    sem = render_semantics(np.random.randint(0, 10, (64, 64)))
+    assert sem.shape == (64, 64, 3)
+    frame = compose_dashboard({"bev": bev, "map": world, "sem": sem})
+    assert frame.shape[1] == 1280 and frame.ndim == 3
+
+
+def test_session_tracker_lap_bookkeeping():
+    from acmpc_tpu.dashboard.session import SessionTracker, format_time
+
+    st = SessionTracker()
+    st.update({"i_current_time": 5000, "completed_laps": 0})
+    st.update({"i_current_time": 100, "completed_laps": 1, "i_last_time": 90000})
+    st.update({"i_current_time": 100, "completed_laps": 2, "i_last_time": 85000})
+    snap = st.snapshot()
+    assert snap["completed_laps"] == 2
+    assert snap["best_lap"] == "01:25.000"
+    assert snap["laps"][-1]["colour"] == "purple"  # improved
+    assert format_time(61500) == "01:01.500"
+    assert format_time(0) == "--:--.---"
+
+
+def test_system_monitor_percentiles():
+    from acmpc_tpu.utils.monitor import SystemMonitor, track_runtime
+
+    mon = SystemMonitor()
+
+    @track_runtime(mon)
+    def work():
+        return 42
+
+    for _ in range(10):
+        assert work() == 42
+    s = mon.summary("test_system_monitor_percentiles.<locals>.work")
+    assert s["n"] == 10
+    assert s["p99_ms"] >= s["p50_ms"] >= 0
