@@ -1,0 +1,23 @@
+# Developer entry points (counterpart of the reference's Makefile +
+# pre-push lint hooks)
+
+.PHONY: test test-fast bench native lint clean
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x --ignore=tests/test_agent_e2e.py
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C acmpc_tpu/native
+
+lint:
+	python -m compileall -q acmpc_tpu tests bench.py __graft_entry__.py
+
+clean:
+	$(MAKE) -C acmpc_tpu/native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

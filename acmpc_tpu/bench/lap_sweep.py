@@ -1,0 +1,207 @@
+"""On-device closed-loop lap sweeps.
+
+The BASELINE.json scaling configs — "robustness batch: 4096 perturbed
+initial-state scenarios solved per control step" and "nordschleife
+full-lap pod sweep: 10k+ sequential solves x parameter grid" — need a
+closed loop that never leaves the device: per step, each scenario
+extracts its own map window in the ego frame, runs the full MPC solve,
+samples the active command and integrates the kinematic bicycle. Here
+that whole step is one jitted program, `vmap`ped over the scenario grid,
+`lax.scan`ned over time, and shardable over a mesh with
+``parallel.sharded_get_control``-style specs — nothing like it exists in
+the reference, whose loop crosses process boundaries every frame.
+
+The per-scenario runtime knobs (start index, lateral offset, runtime
+speed cap) are exactly the perturbation axes of the robustness configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from acmpc_tpu.geometry.path import wrap_to_pi
+from acmpc_tpu.localise.track_map import TrackMap
+from acmpc_tpu.mpc.spatial_mpc import SpatialMPC
+
+
+@struct.dataclass
+class SweepGrid:
+    """Per-scenario perturbations (leading axis = scenario)."""
+
+    start_index: jnp.ndarray  # int32 (B,)
+    lateral_offset: jnp.ndarray  # (B,) metres
+    v_max: jnp.ndarray  # (B,) runtime speed cap
+
+    @classmethod
+    def regular(cls, batch: int, n_map_points: int, v_max: float = 28.0):
+        return cls(
+            start_index=jnp.linspace(0, n_map_points - 1, batch).astype(
+                jnp.int32
+            ),
+            lateral_offset=jnp.zeros(batch),
+            v_max=jnp.full(batch, v_max),
+        )
+
+    @classmethod
+    def perturbed(cls, key, batch: int, n_map_points: int, v_max: float = 28.0):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return cls(
+            start_index=jax.random.randint(k1, (batch,), 0, n_map_points),
+            # clip perturbations into the drivable corridor — starts
+            # outside it are unrecoverable by construction
+            lateral_offset=jnp.clip(
+                1.5 * jax.random.normal(k2, (batch,)), -3.0, 3.0
+            ),
+            v_max=v_max * jax.random.uniform(k3, (batch,), minval=0.8, maxval=1.1),
+        )
+
+
+@struct.dataclass
+class CarState:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    yaw: jnp.ndarray
+    v: jnp.ndarray
+
+
+class LapSweep:
+    """Closed-loop lap simulation for one (mpc, map) pair."""
+
+    def __init__(
+        self,
+        mpc: SpatialMPC,
+        track_map: TrackMap,
+        half_width: float = 5.0,
+        dt: float = 0.1,
+        window_spacing: float = 2.0,
+    ):
+        self.mpc = mpc
+        self.map = track_map
+        self.half_width = half_width
+        self.dt = dt
+        centre = np.asarray(track_map.centre)
+        spacing = float(np.linalg.norm(np.diff(centre, axis=0), axis=1).mean())
+        self.window_stride = max(1, int(round(window_spacing / spacing)))
+        self._centre = jnp.asarray(centre, mpc.dtype)
+
+    # -- per-scenario pieces --------------------------------------------
+    def _init_car(self, grid: SweepGrid, i: int | None = None) -> CarState:
+        centre = self._centre
+        m = centre.shape[0]
+        idx = grid.start_index
+        p0 = centre[idx % m]
+        p1 = centre[(idx + 1) % m]
+        yaw = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
+        normal = jnp.stack(
+            [-jnp.sin(yaw), jnp.cos(yaw)], axis=-1
+        )  # left of heading
+        pos = p0 + grid.lateral_offset[..., None] * normal
+        return CarState(
+            x=pos[..., 0],
+            y=pos[..., 1],
+            yaw=yaw,
+            v=jnp.full_like(yaw, 10.0),
+        )
+
+    def _ego_window(self, car: CarState):
+        """Map centreline window ahead of the car, in the ego BEV frame
+        (y forward) — the offline analogue of the perceived centreline."""
+        centre = self._centre
+        m = centre.shape[0]
+        horizon = self.mpc.horizon
+        pos = jnp.stack([car.x, car.y], axis=-1)
+        d2 = jnp.sum((centre - pos) ** 2, axis=-1)
+        i0 = jnp.argmin(d2)
+        idx = (i0 + self.window_stride * jnp.arange(horizon)) % m
+        world = centre[idx]
+        a = -car.yaw + jnp.pi / 2
+        rot = jnp.stack(
+            [
+                jnp.stack([jnp.cos(a), -jnp.sin(a)], -1),
+                jnp.stack([jnp.sin(a), jnp.cos(a)], -1),
+            ],
+            -2,
+        )
+        bev = (world - pos) @ rot.T
+        widths = jnp.full((horizon,), 2.0 * self.half_width, self.mpc.dtype)
+        return jnp.concatenate([bev, widths[:, None]], axis=1), i0
+
+    def _select_command(self, mpc_state, elapsed):
+        """On-device temporal command selection (commands.py:20-38)."""
+        cum = mpc_state.cum_time
+        dist = cum - elapsed
+        i = jnp.argmin(jnp.abs(dist))
+        i = jnp.where(dist[i] > 0, i - 1, i)
+        i = jnp.clip(i, 0, cum.shape[0] - 1)
+        v_cmd = mpc_state.projected_control[0, i]
+        delta_cmd = mpc_state.projected_control[1, i]
+        return v_cmd, delta_cmd
+
+    def _step_one(self, carry, grid_v_max):
+        car, mpc_state = carry
+        ref, i0 = self._ego_window(car)
+        mpc_state, diags = self.mpc.get_control(
+            mpc_state, ref, v_max_runtime=grid_v_max, is_localised=False
+        )
+        v_cmd, delta = self._select_command(mpc_state, self.dt)
+        # longitudinal response limited by the configured accel band
+        c = self.mpc.config.constraints
+        dv = jnp.clip(v_cmd - car.v, c.a_min * 3 * self.dt, c.a_max * 3 * self.dt)
+        v = jnp.maximum(car.v + dv, 0.0)
+        yaw = wrap_to_pi(
+            car.yaw + v * jnp.tan(delta) / self.mpc.model.length * self.dt
+        )
+        car = CarState(
+            x=car.x + v * jnp.cos(car.yaw) * self.dt,
+            y=car.y + v * jnp.sin(car.yaw) * self.dt,
+            yaw=yaw,
+            v=v,
+        )
+        pos = jnp.stack([car.x, car.y], axis=-1)
+        off = jnp.sqrt(jnp.min(jnp.sum((self._centre - pos) ** 2, axis=-1)))
+        metrics = {
+            "v": v,
+            "offtrack": off,
+            "solved": mpc_state.solved,
+            "map_index": i0,
+            "control_iterations": diags.control_iterations,
+            "control_status": diags.control_status,
+        }
+        return (car, mpc_state), metrics
+
+    # -- public API ------------------------------------------------------
+    def run(self, grid: SweepGrid, n_steps: int):
+        """Simulate ``n_steps`` of every scenario. Returns
+        (final CarState, per-step metrics stacked (n_steps, B))."""
+
+        def scenario(grid_row):
+            car = self._init_car(grid_row)
+            mpc_state = self.mpc.initial_state()
+
+            def body(carry, _):
+                return self._step_one(carry, grid_row.v_max)
+
+            (car, mpc_state), metrics = jax.lax.scan(
+                body, (car, mpc_state), None, length=n_steps
+            )
+            return car, metrics
+
+        return jax.jit(jax.vmap(scenario))(grid)
+
+    def summarise(self, metrics, n_steps: int) -> dict:
+        v = np.asarray(metrics["v"])
+        off = np.asarray(metrics["offtrack"])
+        solved = np.asarray(metrics["solved"])
+        return {
+            "scenarios": int(v.shape[0]),
+            "steps": int(n_steps),
+            "total_solves": int(v.shape[0] * n_steps),
+            "mean_speed_ms": float(v[:, n_steps // 4 :].mean()),
+            "p95_offtrack_m": float(np.percentile(off, 95)),
+            "solve_success_rate": float(solved.mean()),
+        }

@@ -54,6 +54,10 @@ class MPCConfig:
     constraints: SpeedProfileConstraints
     unlocalised_max_speed: float | None = None
     max_iterations: int = MAX_SOLVER_ITERATIONS
+    # real-time-iteration mode: run EXACTLY this many ADMM iterations per
+    # solve (constant step time, warm starts carry progress; commands
+    # only accepted when the end-of-budget residual check passes)
+    rti_iterations: int | None = None
 
     @classmethod
     def from_config(cls, cfg: dict) -> "MPCConfig":
@@ -117,6 +121,7 @@ class SpatialMPC:
             max_iter=config.max_iterations,
             adaptive_rho=False,
             scaling_iters=5,
+            fixed_iterations=config.rti_iterations,
         )
 
     @property

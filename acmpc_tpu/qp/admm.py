@@ -38,6 +38,7 @@ _MAX_SCALING = 1e4
 
 STATUS_MAX_ITER = 0
 STATUS_SOLVED = 1
+STATUS_PRIMAL_INFEASIBLE = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,7 +48,13 @@ class ADMMConfig:
     alpha: float = 1.6
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
+    eps_prim_inf: float = 1e-4
     max_iter: int = 4000
+    # RTI mode: run EXACTLY this many iterations with no convergence
+    # checks inside the loop (one residual check at the end) — constant
+    # step time, no lockstep straggler cost under vmap, warm starts carry
+    # progress across control steps (the real-time-iteration scheme).
+    fixed_iterations: int | None = None
     check_every: int = 25
     scaling_iters: int = 10
     # extra iterative-refinement solves per x-update; 0 because the
@@ -221,7 +228,7 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         ratio = jnp.sqrt(prim_n / jnp.maximum(dual_n, 1e-10))
         return r_prim, r_dual, converged, ratio
 
-    def admm_chunk(x, z, y, rho_vec, K_inv):
+    def admm_chunk(x, z, y, rho_vec, K_inv, n_iters=None):
         """cfg.check_every relaxed ADMM iterations with a fixed factor.
 
         Latency-critical on TPU: each data-dependent op in this loop costs
@@ -252,31 +259,71 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
             return x_new, z_new, y_new
 
         with jax.default_matmul_precision(cfg.iter_precision):
-            return jax.lax.fori_loop(0, cfg.check_every, one_iter, (x, z, y))
+            return jax.lax.fori_loop(
+                0, n_iters or cfg.check_every, one_iter, (x, z, y)
+            )
 
     rho_vec0 = _rho_vector(rho0, ls, us)
     L0 = _factor(Ps, As, rho_vec0, sigma)
 
+    if cfg.fixed_iterations is not None:
+        # RTI path: fixed budget, single residual check at the end
+        x, z, y = admm_chunk(
+            x, z, y, rho_vec0, L0, n_iters=cfg.fixed_iterations
+        )
+        r_p, r_d, converged, _ = residuals(x, y, z, rho0)
+        status = jnp.where(converged, STATUS_SOLVED, STATUS_MAX_ITER)
+        return QPSolution(
+            x=x * d,
+            y=y * e / c,
+            z=z / e,
+            status=status,
+            iterations=jnp.asarray(cfg.fixed_iterations, jnp.int32),
+            r_prim=r_p,
+            r_dual=r_d,
+        )
+
+    def primal_infeasibility_certificate(dy):
+        """OSQP primal-infeasibility test on a dual-ascent direction
+        delta_y (Stellato et al. §3.4), in unscaled quantities. Rows we
+        clipped to +/-1e30 self-exclude: any positive delta_y there blows
+        the support function positive, as it should."""
+        dy_u_norm = _inf_norm(e * dy) / c
+        at_dy = _inf_norm((As.T @ dy) / d) / c
+        support = (
+            jnp.sum(us * jnp.maximum(dy, 0.0)) + jnp.sum(ls * jnp.minimum(dy, 0.0))
+        ) / c
+        eps = cfg.eps_prim_inf * jnp.maximum(dy_u_norm, 1e-30)
+        return (dy_u_norm > 1e-12) & (at_dy <= eps) & (support <= -eps)
+
     def cond(state):
-        _, _, _, _, _, it, done, _, _, _ = state
+        _, _, _, _, _, it, done, _, _, _, _ = state
         return (~done) & (it < cfg.max_iter)
 
     def body(state):
-        x, z, y, rho, L, it, done, r_p, r_d, _ = state
+        x, z, y, rho, L, it, done, r_p, r_d, _, status = state
+        y_before = y
         x, z, y = admm_chunk(x, z, y, _rho_vector(rho, ls, us), L)
         it = it + cfg.check_every
         r_p, r_d, converged, ratio = residuals(x, y, z, rho)
+        prim_inf = primal_infeasibility_certificate(y - y_before) & ~converged
+        status = jnp.where(
+            converged,
+            STATUS_SOLVED,
+            jnp.where(prim_inf, STATUS_PRIMAL_INFEASIBLE, STATUS_MAX_ITER),
+        )
+        done = converged | prim_inf
         if cfg.adaptive_rho:
             tol = cfg.adaptive_rho_tol
             need_update = (ratio > tol) | (ratio < 1.0 / tol)
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
-            rho = jnp.where(need_update & ~converged, new_rho, rho)
+            rho = jnp.where(need_update & ~done, new_rho, rho)
             L = jnp.where(
-                (need_update & ~converged),
+                (need_update & ~done),
                 _factor(Ps, As, _rho_vector(rho, ls, us), sigma),
                 L,
             )
-        return (x, z, y, rho, L, it, converged, r_p, r_d, ratio)
+        return (x, z, y, rho, L, it, done, r_p, r_d, ratio, status)
 
     r_p0 = jnp.asarray(jnp.inf, dtype)
     r_d0 = jnp.asarray(jnp.inf, dtype)
@@ -291,10 +338,11 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         r_p0,
         r_d0,
         jnp.asarray(1.0, dtype),
+        jnp.asarray(STATUS_MAX_ITER, jnp.int32),
     )
-    x, z, y, rho, L, it, done, r_p, r_d, _ = jax.lax.while_loop(cond, body, init)
-
-    status = jnp.where(done, STATUS_SOLVED, STATUS_MAX_ITER)
+    x, z, y, rho, L, it, done, r_p, r_d, _, status = jax.lax.while_loop(
+        cond, body, init
+    )
     return QPSolution(
         x=x * d,
         y=y * e / c,

@@ -61,6 +61,18 @@ class Agent:
 
     # ------------------------------------------------------------------
     def _setup(self):
+        # persistent XLA compilation cache: the agent's jitted programs
+        # (MPC solve, perception pipeline) compile once per machine, not
+        # once per session — the analogue of the reference's serialized
+        # TensorRT engines for the whole stack
+        try:
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/acmpc_jit_cache"
+            )
+        except Exception:
+            pass
         np.random.seed(self.cfg.seed)
         self.perception = Perceiver(self.cfg.perception)
         self.controller = Controller(self.cfg)

@@ -65,6 +65,12 @@ def main():
 
     solves_per_s = batch * iters / dt
     per_chip = solves_per_s / 1  # single-chip benchmark (bench runs on 1 chip)
+
+    # closed-loop lap sweep (BASELINE robustness/full-lap configs):
+    # every scenario extracts its map window, solves, and integrates the
+    # car fully on-device (scan x vmap), RTI iteration budget
+    closed_loop = _closed_loop_solves_per_s(backend)
+
     result = {
         "metric": f"mpc_solves_per_s_per_chip_h{HORIZON}",
         "value": round(per_chip, 2),
@@ -74,8 +80,64 @@ def main():
         "batch": batch,
         "n_devices": n_dev,
         "p50_step_latency_ms": round(1e3 * dt / iters, 2),
+        **closed_loop,
     }
     print(json.dumps(result))
+
+
+def _closed_loop_solves_per_s(backend: str) -> dict:
+    import jax
+    import numpy as np
+
+    from acmpc_tpu.bench import LapSweep, SweepGrid
+    from acmpc_tpu.dynamics import SpatialBicycleModel, VehicleParams
+    from acmpc_tpu.localise.track_map import TrackMap
+    from acmpc_tpu.mpc.spatial_mpc import MPCConfig, SpatialMPC
+    from acmpc_tpu.qp.speed_profile import SpeedProfileConstraints
+    import jax.numpy as jnp
+
+    constraints = SpeedProfileConstraints(
+        v_min=5.0, v_max=30.0, a_min=-3.0, a_max=6.0,
+        ay_max=5.5, ki_min=0.005, end_velocity=10.0,
+    )
+    config = MPCConfig(
+        horizon=HORIZON,
+        step_cost=(4.0e-3, 5.0e-2, 0.0),
+        r_term=(1.0e-2, 10.0),
+        final_cost=(1.0, 0.0, 0.1),
+        constraints=constraints,
+        rti_iterations=50,
+    )
+    model = SpatialBicycleModel(
+        vehicle=VehicleParams(), min_velocity=5.0, max_velocity=30.0
+    )
+    mpc = SpatialMPC(config, model)
+
+    theta = np.linspace(0, 2 * np.pi, 1500, endpoint=False)
+    r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta)
+    centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+    d = np.roll(centre, -1, axis=0) - centre
+    t = d / np.linalg.norm(d, axis=1, keepdims=True)
+    n = np.stack([-t[:, 1], t[:, 0]], axis=1)
+    tm = TrackMap(
+        centre=jnp.asarray(centre, jnp.float32),
+        left=jnp.asarray(centre + 5 * n, jnp.float32),
+        right=jnp.asarray(centre - 5 * n, jnp.float32),
+    )
+    sweep = LapSweep(mpc, tm, half_width=5.0, dt=0.1)
+    B, N = (256, 25) if backend != "cpu" else (16, 10)
+    grid = SweepGrid.perturbed(jax.random.PRNGKey(0), B, 1500, v_max=24.0)
+    _, metrics = sweep.run(grid, N)  # compile
+    jax.block_until_ready(metrics["v"])
+    t0 = time.perf_counter()
+    _, metrics = sweep.run(grid, N)
+    jax.block_until_ready(metrics["v"])
+    wall = time.perf_counter() - t0
+    s = sweep.summarise(metrics, N)
+    return {
+        "closed_loop_solves_per_s": round(B * N / wall, 1),
+        "closed_loop_success_rate": round(s["solve_success_rate"], 4),
+    }
 
 
 if __name__ == "__main__":

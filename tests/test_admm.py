@@ -100,3 +100,24 @@ def test_max_iter_reported():
     sol = jax.jit(lambda *a: solve_box_qp(*a, cfg))(P, q, A, l, u)
     assert int(sol.status) == 0
     assert int(sol.iterations) == 25
+
+
+def test_primal_infeasibility_certificate():
+    """Contradictory equality rows must be flagged as primal infeasible
+    quickly (the reference relies on OSQP's certificate to keep serving
+    old commands without burning the iteration budget)."""
+    rng = np.random.default_rng(3)
+    n = 12
+    M = rng.normal(size=(n, n))
+    P = jnp.asarray(M @ M.T + np.eye(n), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    A = jnp.asarray(np.vstack([np.eye(n)[:1], np.eye(n)[:1], np.eye(n)]), jnp.float32)
+    l = np.zeros(n + 2, np.float32)
+    u = np.zeros(n + 2, np.float32)
+    l[0] = u[0] = 0.0   # x0 == 0
+    l[1] = u[1] = 5.0   # and x0 == 5 -> infeasible
+    l[2:] = -10.0
+    u[2:] = 10.0
+    sol = jax.jit(solve_box_qp)(P, q, A, jnp.asarray(l), jnp.asarray(u))
+    assert int(sol.status) == 2, f"status={int(sol.status)} it={int(sol.iterations)}"
+    assert int(sol.iterations) < 1000  # detected early, not at max_iter

@@ -57,3 +57,42 @@ def test_eight_device_scenario_shard():
         rtol=2e-3,
         atol=2e-3,
     )
+
+
+def test_pod_mesh_sharded_lap_sweep():
+    """Multi-device closed-loop sweep over the ("host","chip") mesh."""
+    from acmpc_tpu.bench import LapSweep, SweepGrid
+    from acmpc_tpu.parallel.multihost import (
+        grid_sharding,
+        make_pod_mesh,
+        sharded_lap_sweep,
+    )
+    from test_localise import make_asymmetric_map
+
+    model = SpatialBicycleModel(
+        vehicle=VehicleParams(),
+        min_velocity=CONSTRAINTS.v_min,
+        max_velocity=CONSTRAINTS.v_max,
+    )
+    mpc = SpatialMPC(CONFIG, model)
+    tm = make_asymmetric_map(800)
+    sweep = LapSweep(mpc, tm, half_width=5.0, dt=0.1)
+
+    mesh = make_pod_mesh(hosts=2)  # 2x4 over the virtual 8-device mesh
+    assert mesh.devices.shape == (2, 4)
+    run = sharded_lap_sweep(sweep, mesh, n_steps=20)
+
+    batch = 16
+    grid = SweepGrid.perturbed(
+        jax.random.PRNGKey(1), batch, tm.centre.shape[0], v_max=20.0
+    )
+    grid = jax.device_put(grid, grid_sharding(mesh))
+    metrics, fleet = run(grid)
+    assert int(fleet["n_solves"]) == batch * 20
+    assert int(fleet["n_solved"]) >= 0.9 * batch * 20
+    assert float(fleet["mean_speed"]) > 5.0
+    # matches the unsharded sweep
+    _, ref_metrics = sweep.run(grid, 20)
+    np.testing.assert_allclose(
+        np.asarray(metrics["v"]), np.asarray(ref_metrics["v"]), rtol=2e-3, atol=1e-3
+    )
