@@ -67,6 +67,14 @@ class ADMMConfig:
     # scaling and residual checks always run at "highest". "tensorfloat32"
     # converges on the MPC problem family; "default" (bf16) does not.
     iter_precision: str = "highest"
+    # run iteration chunks as ONE fused Pallas kernel (ops/pallas_admm.py).
+    # Directly-batched kernel calls (b_tile>1) are dramatically faster than
+    # the XLA chunk (the operator stays VMEM-resident across iterations),
+    # but under jax.vmap the batching rule serialises scenarios into a
+    # (B, 1) grid, which loses to XLA's batched GEMVs — so the default is
+    # "off" and the kernel is used where the batch is explicit.
+    # "auto" enables on TPU backends, "on" forces (interpret off-TPU).
+    use_pallas: str = "off"  # "auto" | "on" | "off"
 
 
 @struct.dataclass
@@ -228,22 +236,75 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         ratio = jnp.sqrt(prim_n / jnp.maximum(dual_n, 1e-10))
         return r_prim, r_dual, converged, ratio
 
-    def admm_chunk(x, z, y, rho_vec, K_inv, n_iters=None):
-        """cfg.check_every relaxed ADMM iterations with a fixed factor.
+    use_pallas = cfg.use_pallas == "on" or (
+        cfg.use_pallas == "auto" and jax.default_backend() == "tpu"
+    )
+
+    NP = -(-n // 128) * 128
+    MP = -(-m // 128) * 128
+
+    def _pad_n(v):
+        return jnp.zeros((NP,), dtype).at[:n].set(v)
+
+    def _pad_m(v, fill=0.0):
+        return jnp.full((MP,), fill, dtype).at[:m].set(v)
+
+    if use_pallas:
+        _Ap = jnp.zeros((MP, NP), dtype).at[:m, :n].set(As)
+        _lsp = _pad_m(ls)
+        _usp = _pad_m(us)
+
+    def build_operator(K_inv):
+        """Stacked x-update operator, built ONCE per factorisation:
+        W = [sigma*Kinv | Kinv A'], c0 = -Kinv q. In pallas mode the
+        operator is stored pre-padded so chunks only pad vectors."""
+        W = jnp.concatenate([sigma * K_inv, K_inv @ As.T], axis=-1)
+        c0 = -(K_inv @ qs)
+        if use_pallas:
+            Wp = jnp.zeros((NP, NP + MP), dtype)
+            Wp = Wp.at[:n, :n].set(W[:, :n])
+            Wp = Wp.at[:n, NP : NP + m].set(W[:, n:])
+            return Wp, _pad_n(c0)
+        return W, c0
+
+    def admm_chunk(x, z, y, rho_vec, op, n_iters=None):
+        """cfg.check_every relaxed ADMM iterations with a fixed operator.
 
         Latency-critical on TPU: each data-dependent op in this loop costs
         its full launch+execute latency (no pipelining across iterations),
         so the x-update is folded into ONE stacked GEMV
         [sigma*Kinv | Kinv A'] @ [x ; rho z - y] plus a constant, and the
         only other GEMV is z_t = A x_t. Everything else fuses on the VPU.
+        With use_pallas the whole chunk becomes one fused kernel with the
+        operator resident in VMEM across every iteration.
         """
-        W = jnp.concatenate([sigma * K_inv, K_inv @ As.T], axis=-1)
-        c0 = -(K_inv @ qs)
+        W, c0 = op
+
+        if use_pallas:
+            from acmpc_tpu.ops.pallas_admm import admm_iterations_pallas
+
+            xo, zo, yo = admm_iterations_pallas(
+                W[None],
+                _Ap[None],
+                c0[None],
+                _pad_m(rho_vec, 1.0)[None],
+                _lsp[None],
+                _usp[None],
+                _pad_n(x)[None],
+                _pad_m(z)[None],
+                _pad_m(y)[None],
+                n_iters=int(n_iters or cfg.check_every),
+                alpha=cfg.alpha,
+                b_tile=1,
+                interpret=(jax.default_backend() != "tpu"),
+            )
+            return xo[0, :n], zo[0, :m], yo[0, :m]
 
         def one_iter(_, carry):
             x, z, y = carry
             xt = W @ jnp.concatenate([x, rho_vec * z - y], axis=-1) + c0
             for _ in range(cfg.refine_steps):
+                K_inv = W[:, :n] / sigma
                 rhs = sigma * x - qs + As.T @ (rho_vec * z - y)
                 K_xt = (
                     Ps @ xt
@@ -264,12 +325,12 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
             )
 
     rho_vec0 = _rho_vector(rho0, ls, us)
-    L0 = _factor(Ps, As, rho_vec0, sigma)
+    op0 = build_operator(_factor(Ps, As, rho_vec0, sigma))
 
     if cfg.fixed_iterations is not None:
         # RTI path: fixed budget, single residual check at the end
         x, z, y = admm_chunk(
-            x, z, y, rho_vec0, L0, n_iters=cfg.fixed_iterations
+            x, z, y, rho_vec0, op0, n_iters=cfg.fixed_iterations
         )
         r_p, r_d, converged, _ = residuals(x, y, z, rho0)
         status = jnp.where(converged, STATUS_SOLVED, STATUS_MAX_ITER)
@@ -301,9 +362,9 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         return (~done) & (it < cfg.max_iter)
 
     def body(state):
-        x, z, y, rho, L, it, done, r_p, r_d, _, status = state
+        x, z, y, rho, op, it, done, r_p, r_d, _, status = state
         y_before = y
-        x, z, y = admm_chunk(x, z, y, _rho_vector(rho, ls, us), L)
+        x, z, y = admm_chunk(x, z, y, _rho_vector(rho, ls, us), op)
         it = it + cfg.check_every
         r_p, r_d, converged, ratio = residuals(x, y, z, rho)
         prim_inf = primal_infeasibility_certificate(y - y_before) & ~converged
@@ -318,12 +379,15 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
             need_update = (ratio > tol) | (ratio < 1.0 / tol)
             new_rho = jnp.clip(rho * ratio, 1e-6, 1e6)
             rho = jnp.where(need_update & ~done, new_rho, rho)
-            L = jnp.where(
-                (need_update & ~done),
-                _factor(Ps, As, _rho_vector(rho, ls, us), sigma),
-                L,
+            refreshed = build_operator(
+                _factor(Ps, As, _rho_vector(rho, ls, us), sigma)
             )
-        return (x, z, y, rho, L, it, done, r_p, r_d, ratio, status)
+            op = jax.tree.map(
+                lambda new, old: jnp.where(need_update & ~done, new, old),
+                refreshed,
+                op,
+            )
+        return (x, z, y, rho, op, it, done, r_p, r_d, ratio, status)
 
     r_p0 = jnp.asarray(jnp.inf, dtype)
     r_d0 = jnp.asarray(jnp.inf, dtype)
@@ -332,7 +396,7 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         z,
         y,
         rho0,
-        L0,
+        op0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         r_p0,
@@ -340,7 +404,7 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         jnp.asarray(1.0, dtype),
         jnp.asarray(STATUS_MAX_ITER, jnp.int32),
     )
-    x, z, y, rho, L, it, done, r_p, r_d, _, status = jax.lax.while_loop(
+    x, z, y, rho, op, it, done, r_p, r_d, _, status = jax.lax.while_loop(
         cond, body, init
     )
     return QPSolution(

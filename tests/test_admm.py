@@ -121,3 +121,29 @@ def test_primal_infeasibility_certificate():
     sol = jax.jit(solve_box_qp)(P, q, A, jnp.asarray(l), jnp.asarray(u))
     assert int(sol.status) == 2, f"status={int(sol.status)} it={int(sol.iterations)}"
     assert int(sol.iterations) < 1000  # detected early, not at max_iter
+
+
+def test_pallas_chunk_matches_xla():
+    """Fused Pallas iteration kernel (interpret mode on CPU) returns the
+    same solution as the XLA chunk path."""
+    rng = np.random.default_rng(7)
+    n, m = 20, 30
+    M = rng.normal(size=(n, n))
+    P = jnp.asarray(M @ M.T + 0.5 * np.eye(n), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    A = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    centre = np.asarray(A) @ rng.normal(size=n)
+    half = np.abs(rng.normal(size=m)) + 0.5
+    l = jnp.asarray(centre - half, jnp.float32)
+    u = jnp.asarray(centre + half, jnp.float32)
+    ref = jax.jit(
+        lambda: solve_box_qp(P, q, A, l, u, ADMMConfig(use_pallas="off"))
+    )()
+    pal = jax.jit(
+        lambda: solve_box_qp(P, q, A, l, u, ADMMConfig(use_pallas="on"))
+    )()
+    assert int(ref.status) == 1 and int(pal.status) == 1
+    assert int(ref.iterations) == int(pal.iterations)
+    np.testing.assert_allclose(
+        np.asarray(pal.x), np.asarray(ref.x), rtol=1e-4, atol=1e-4
+    )
