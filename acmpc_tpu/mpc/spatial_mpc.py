@@ -183,21 +183,18 @@ class SpatialMPC:
         return path.replace(velocities=velocities)
 
     # ------------------------------------------------------------------
-    def get_control(
+    def _prepare(
         self,
         state: MPCState,
         reference_path: jnp.ndarray,
-        v_max_runtime=None,
-        is_localised=False,
-        offset=0.0,
-    ) -> tuple[MPCState, MPCDiagnostics]:
-        """One MPC solve (reference spatial_mpc.py:170-217).
+        v_max_runtime,
+        is_localised,
+        offset,
+    ):
+        """Waypoints + speed profile + QP assembly (everything before the
+        control-QP solve). Pure; vmaps cleanly for the batched path."""
+        from acmpc_tpu.mpc.control_qp import assemble_control_qp
 
-        reference_path: (H, 3) array of [x, y, width] in the ego/BEV frame
-        (y forward). v_max_runtime: live reference speed (traced scalar).
-        Returns the updated carry (same commands as before on infeasible
-        solves) plus diagnostics.
-        """
         cfgc = self.config
         path = self.construct_waypoints(reference_path)
 
@@ -225,18 +222,42 @@ class SpatialMPC:
         )
         spatial_state = t2s(path.state(0), temporal_state)
 
-        control_sol = solve_control_qp(
+        qp = assemble_control_qp(
             path,
             spatial_state,
             self.model,
             jnp.asarray(cfgc.step_cost, self.dtype),
             jnp.asarray(cfgc.r_term, self.dtype),
             jnp.asarray(cfgc.final_cost, self.dtype),
-            cfg=self.admm,
-            x0=state.qp_x,
-            y0=state.qp_y,
         )
+        return path, speed_sol, qp
 
+    def get_control(
+        self,
+        state: MPCState,
+        reference_path: jnp.ndarray,
+        v_max_runtime=None,
+        is_localised=False,
+        offset=0.0,
+    ) -> tuple[MPCState, MPCDiagnostics]:
+        """One MPC solve (reference spatial_mpc.py:170-217).
+
+        reference_path: (H, 3) array of [x, y, width] in the ego/BEV frame
+        (y forward). v_max_runtime: live reference speed (traced scalar).
+        Returns the updated carry (same commands as before on infeasible
+        solves) plus diagnostics.
+        """
+        from acmpc_tpu.qp.admm import solve_box_qp
+
+        path, speed_sol, qp = self._prepare(
+            state, reference_path, v_max_runtime, is_localised, offset
+        )
+        control_sol = solve_box_qp(
+            *qp, self.admm, x0=state.qp_x, y0=state.qp_y
+        )
+        return self._extract(state, path, speed_sol, control_sol)
+
+    def _extract(self, state, path, speed_sol, control_sol):
         n = self.horizon - 1
         ok = (speed_sol.status == 1) & (control_sol.status == 1)
 
@@ -287,6 +308,39 @@ class SpatialMPC:
     def batched_get_control(self):
         """jit(vmap) over a leading scenario axis of every argument."""
         return jax.jit(jax.vmap(self.get_control))
+
+    @functools.cached_property
+    def batched_get_control_fused(self):
+        """Explicitly-batched step: prepare/extract vmapped, the control
+        QP solved by the fused-Pallas batched engine (qp/batched.py) —
+        the operators stay VMEM-resident per iteration chunk instead of
+        the (B, 1)-serialised grid vmap would produce.
+
+        Signature: (states, refs, v_max (B,) | None, is_localised (B,) |
+        bool) -> (new_states, diags).
+        """
+        from acmpc_tpu.qp.batched import solve_box_qp_batched
+
+        def step(states, refs, v_max=None, is_localised=None):
+            B = refs.shape[0]
+            if v_max is None:
+                v_max = jnp.full(
+                    (B,), self.config.constraints.v_max, self.dtype
+                )
+            if is_localised is None:
+                is_localised = jnp.zeros((B,), bool)
+            offsets = jnp.zeros((B,), self.dtype)
+            path, speed_sol, qp = jax.vmap(self._prepare)(
+                states, refs, v_max, is_localised, offsets
+            )
+            control_sol = solve_box_qp_batched(
+                *qp, self.admm, x0=states.qp_x, y0=states.qp_y
+            )
+            return jax.vmap(self._extract)(
+                states, path, speed_sol, control_sol
+            )
+
+        return jax.jit(step)
 
 
 def build_mpc(

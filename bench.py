@@ -50,7 +50,8 @@ def main():
     refs = jnp.asarray(np.concatenate([gentle, hard]), jnp.float32)
 
     states = jax.vmap(lambda: mpc.initial_state(), axis_size=batch)()
-    step = jax.jit(jax.vmap(lambda s, r: mpc.get_control(s, r)[0]))
+    # explicitly-batched step: control QP via the fused-Pallas engine
+    step = lambda s, r: mpc.batched_get_control_fused(s, r)[0]
 
     # warmup / compile
     out = step(states, refs)

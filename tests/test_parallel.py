@@ -96,3 +96,26 @@ def test_pod_mesh_sharded_lap_sweep():
     np.testing.assert_allclose(
         np.asarray(metrics["v"]), np.asarray(ref_metrics["v"]), rtol=2e-3, atol=1e-3
     )
+
+
+def test_fused_batched_path_matches_vmap():
+    """Explicitly-batched (fused-Pallas on TPU, interpret on CPU) control
+    step equals the vmap path."""
+    model = SpatialBicycleModel(
+        vehicle=VehicleParams(),
+        min_velocity=CONSTRAINTS.v_min,
+        max_velocity=CONSTRAINTS.v_max,
+    )
+    mpc = SpatialMPC(CONFIG, model)
+    batch = 4
+    tracks = [get_hairpin_track(20.0 + 4 * i, CONFIG.horizon) for i in range(batch)]
+    refs = jnp.stack([jnp.asarray(with_widths(t), jnp.float32) for t in tracks])
+    states = replicate_state(mpc, batch)
+    ref_out, _ = mpc.batched_get_control(states, refs)
+    fused_out, _ = mpc.batched_get_control_fused(states, refs)
+    assert bool(fused_out.solved.all())
+    np.testing.assert_allclose(
+        np.asarray(fused_out.projected_control),
+        np.asarray(ref_out.projected_control),
+        rtol=5e-3, atol=5e-3,
+    )
