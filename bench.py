@@ -128,10 +128,10 @@ def _closed_loop_solves_per_s(backend: str) -> dict:
     sweep = LapSweep(mpc, tm, half_width=5.0, dt=0.1)
     B, N = (256, 25) if backend != "cpu" else (16, 10)
     grid = SweepGrid.perturbed(jax.random.PRNGKey(0), B, 1500, v_max=24.0)
-    _, metrics = sweep.run(grid, N)  # compile
+    _, metrics = sweep.run_fused(grid, N)  # compile
     jax.block_until_ready(metrics["v"])
     t0 = time.perf_counter()
-    _, metrics = sweep.run(grid, N)
+    _, metrics = sweep.run_fused(grid, N)
     jax.block_until_ready(metrics["v"])
     wall = time.perf_counter() - t0
     s = sweep.summarise(metrics, N)
