@@ -39,6 +39,8 @@ def assemble_control_qp(
     step_cost: jnp.ndarray,
     r_term: jnp.ndarray,
     final_cost: jnp.ndarray,
+    u_min=None,
+    u_max=None,
 ):
     """Return (P, q, A, l, u) for the horizon QP. ``path`` has n waypoints
     (horizon-1); all shapes static in n."""
@@ -85,8 +87,14 @@ def assemble_control_qp(
     x_min = x_min.at[ey_idx].set(-half_drivable)
     x_max = x_max.at[ey_idx].set(half_drivable)
 
-    u_min = jnp.tile(jnp.asarray(model.min_u, dtype), n)
-    u_max = jnp.tile(jnp.asarray(model.max_u, dtype), n)
+    # input box; overridable at runtime (multi-track batching varies the
+    # velocity bounds per track while the vehicle stays shared)
+    if u_min is None:
+        u_min = model.min_u
+    if u_max is None:
+        u_max = model.max_u
+    u_min = jnp.tile(jnp.asarray(u_min, dtype), n)
+    u_max = jnp.tile(jnp.asarray(u_max, dtype), n)
     # velocity slack (control.py:139-140)
     u_min = u_min.at[::NU].add(-0.1)
     u_max = u_max.at[::NU].add(0.1)
