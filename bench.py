@@ -57,14 +57,22 @@ def main():
     out = step(states, refs)
     jax.block_until_ready(out.projected_control)
 
-    iters = 10
+    # throughput: continuous dependent chain (host prep overlaps device)
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(out, refs)
     jax.block_until_ready(out.projected_control)
     dt = time.perf_counter() - t0
-
     solves_per_s = batch * iters / dt
+
+    # latency: per-step blocked round trips (dispatch + execute)
+    times = []
+    for _ in range(10):
+        t1 = time.perf_counter()
+        out = step(out, refs)
+        jax.block_until_ready(out.projected_control)
+        times.append(time.perf_counter() - t1)
     per_chip = solves_per_s / 1  # single-chip benchmark (bench runs on 1 chip)
 
     # closed-loop lap sweep (BASELINE robustness/full-lap configs):
@@ -80,7 +88,10 @@ def main():
         "backend": backend,
         "batch": batch,
         "n_devices": n_dev,
-        "p50_step_latency_ms": round(1e3 * dt / iters, 2),
+        "p50_step_latency_ms": round(1e3 * float(np.percentile(times, 50)), 2),
+        # the reference's control loop runs at game frame rates (~20-60 Hz);
+        # p99 vs that budget is the BASELINE.json latency metric
+        "p99_step_latency_ms": round(1e3 * float(np.percentile(times, 99)), 2),
         **closed_loop,
     }
     print(json.dumps(result))
