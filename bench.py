@@ -77,8 +77,12 @@ def main():
 
     # closed-loop lap sweep (BASELINE robustness/full-lap configs):
     # every scenario extracts its map window, solves, and integrates the
-    # car fully on-device (scan x vmap), RTI iteration budget
-    closed_loop = _closed_loop_solves_per_s(backend)
+    # car on-device per step, RTI iteration budget. Non-fatal: a transient
+    # device error here must not lose the primary metric.
+    try:
+        closed_loop = _closed_loop_solves_per_s(backend)
+    except Exception as exc:  # pragma: no cover - infra flakiness
+        closed_loop = {"closed_loop_error": type(exc).__name__}
 
     result = {
         "metric": f"mpc_solves_per_s_per_chip_h{HORIZON}",
