@@ -6,22 +6,36 @@ Prints ONE JSON line:
 The scenario batch is solved as one jitted, vmapped program (the TPU-native
 replacement for the reference's per-step OSQP loop in
 /root/reference/src/acmpc/control/controller.py:226-231). Baseline
-denominator: the reference's CPU OSQP re-solve loop at horizon 50. The
-reference repo records no numbers (BASELINE.md) — its harness only printed
-per-solve wall times — so we pin the denominator to 500 solves/s (2 ms per
-warm-started 248-variable OSQP solve, the order its test harness printed on
-desktop CPUs; see /root/reference/src/acmpc/tests/test_spatial_mpc.py:85-87).
+denominator: MEASURED on this machine by tools/measure_cpu_baseline.py,
+which drives the reference's own get_control loop
+(/root/reference/src/acmpc/control/spatial_mpc.py:170-217) on sliding
+horizon-50 centreline windows across all 7 track configs and records
+baseline_cpu.json. The denominator is the upper-bound variant (QP solve
+replaced by cached-result replay, i.e. the reference's per-solve
+Python/scipy work alone — a strict ceiling on its throughput regardless of
+QP solver speed); the faithful full loop measured ~101 solves/s.
 """
 
 from __future__ import annotations
 
 import json
+import pathlib
 import time
 
 import numpy as np
 
-# Reference CPU loop estimate: 2 ms/solve warm OSQP at horizon 50.
-CPU_BASELINE_SOLVES_PER_S = 500.0
+_FALLBACK_BASELINE = 500.0  # estimate used before baseline_cpu.json existed
+
+
+def _cpu_baseline_solves_per_s() -> tuple[float, str]:
+    path = pathlib.Path(__file__).parent / "baseline_cpu.json"
+    if path.exists():
+        data = json.loads(path.read_text())
+        return float(data["denominator_solves_per_s"]), data["denominator_kind"]
+    return _FALLBACK_BASELINE, "estimate"
+
+
+CPU_BASELINE_SOLVES_PER_S, CPU_BASELINE_KIND = _cpu_baseline_solves_per_s()
 
 HORIZON = 50
 
@@ -89,6 +103,8 @@ def main():
         "value": round(per_chip, 2),
         "unit": "solves/s",
         "vs_baseline": round(per_chip / CPU_BASELINE_SOLVES_PER_S, 3),
+        "baseline_solves_per_s": CPU_BASELINE_SOLVES_PER_S,
+        "baseline_kind": CPU_BASELINE_KIND,
         "backend": backend,
         "batch": batch,
         "n_devices": n_dev,
