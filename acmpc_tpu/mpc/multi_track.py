@@ -12,6 +12,8 @@ composes with a scenario axis for track x scenario grids).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -126,15 +128,44 @@ class MultiTrackMPC:
         sol = solve_box_qp(*qp, mpc.admm, x0=state.qp_x, y0=state.qp_y)
         return mpc._extract(state, path, speed_sol, sol)
 
+    @functools.cached_property
+    def _jitted_step(self):
+        """jit(vmap) over the track axis, built ONCE — constructing a new
+        jit wrapper per call would defeat the trace cache and recompile
+        every invocation."""
+        return jax.jit(jax.vmap(self._one))
+
+    @functools.cached_property
+    def _jitted_grid_step(self):
+        """jit(vmap(vmap)) over (scenario, track): the outer axis maps
+        states/refs/v_max, the track-parameter pytree broadcasts."""
+        inner = jax.vmap(self._one)  # track axis: maps everything
+        outer = jax.vmap(inner, in_axes=(0, 0, None, 0))  # scenario axis
+        return jax.jit(outer)
+
     def get_control(self, states, refs, v_max_runtime=None):
         """states/refs batched over the track axis; v_max (T,) or None."""
         if v_max_runtime is None:
             v_max_runtime = self.params["v_max"]
-        return jax.jit(jax.vmap(self._one))(
-            states, refs, self.params, v_max_runtime
-        )
+        return self._jitted_step(states, refs, self.params, v_max_runtime)
 
-    def initial_states(self):
-        return jax.vmap(lambda _: self.mpc.initial_state())(
+    def get_control_grid(self, states, refs, v_max_runtime=None):
+        """Track x scenario grid solve (BASELINE config 2 at scale).
+
+        states/refs lead with (S, T, ...); v_max (S, T) or None. One jitted
+        program; compose with shard_map over the scenario axis for meshes.
+        """
+        S = refs.shape[0]
+        if v_max_runtime is None:
+            v_max_runtime = jnp.broadcast_to(self.params["v_max"], (S, self.n_tracks))
+        return self._jitted_grid_step(states, refs, self.params, v_max_runtime)
+
+    def initial_states(self, n_scenarios: int | None = None):
+        states = jax.vmap(lambda _: self.mpc.initial_state())(
             jnp.arange(self.n_tracks)
+        )
+        if n_scenarios is None:
+            return states
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_scenarios, *x.shape)), states
         )

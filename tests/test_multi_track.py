@@ -55,6 +55,14 @@ def test_all_seven_tracks_one_batched_solve():
     out, diags = mt.get_control(states, refs, v_max_runtime=v_caps)
     assert int(out.solved.sum()) == len(TRACKS), np.asarray(diags.r_prim)
 
+    # repeated calls reuse the SAME jitted wrapper (no per-call retrace)
+    before = mt._jitted_step._cache_size()
+    out2, _ = mt.get_control(states, refs, v_max_runtime=v_caps)
+    assert mt._jitted_step._cache_size() == before
+    np.testing.assert_array_equal(
+        np.asarray(out2.projected_control), np.asarray(out.projected_control)
+    )
+
     # per-track parity: the batched solve equals each track's own MPC
     for i, cfg in enumerate(configs):
         model = SpatialBicycleModel(
@@ -74,3 +82,119 @@ def test_all_seven_tracks_one_batched_solve():
             atol=5e-3,
             err_msg=f"track {TRACKS[i]}",
         )
+
+
+def _build_mt():
+    agent_cfgs = [load_config(CONFIG_DIR / f"{t}.yaml") for t in TRACKS]
+    configs = [
+        dataclasses.replace(c.racing_control, horizon=HORIZON)
+        for c in agent_cfgs
+    ]
+    model = SpatialBicycleModel(
+        vehicle=agent_cfgs[0].vehicle,
+        min_velocity=configs[0].constraints.v_min,
+        max_velocity=configs[0].constraints.v_max,
+    )
+    template = SpatialMPC(configs[0], model)
+    return MultiTrackMPC(template, configs), configs
+
+
+def test_track_by_scenario_grid_matches_single_axis():
+    """BASELINE config 2 at scale: an (S, T) grid solve equals S separate
+    track-axis solves."""
+    mt, configs = _build_mt()
+    S = 3
+    refs = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.asarray(
+                        with_widths(
+                            get_hairpin_track(40.0 + 5 * t + 2 * s, HORIZON)
+                        ),
+                        jnp.float32,
+                    )
+                    for t in range(len(TRACKS))
+                ]
+            )
+            for s in range(S)
+        ]
+    )
+    v_caps = jnp.asarray(
+        [min(30.0, c.unlocalised_max_speed or 30.0) for c in configs],
+        jnp.float32,
+    )
+    v_grid = jnp.broadcast_to(v_caps, (S, len(TRACKS)))
+    states = mt.initial_states(n_scenarios=S)
+    out, _ = mt.get_control_grid(states, refs, v_grid)
+    assert int(out.solved.sum()) == S * len(TRACKS)
+
+    for s in range(S):
+        row, _ = mt.get_control(
+            mt.initial_states(), refs[s], v_max_runtime=v_caps
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.projected_control[s]),
+            np.asarray(row.projected_control),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
+def test_track_by_scenario_grid_sharded_over_mesh():
+    """The (S, T) grid composes with shard_map over the scenario axis:
+    sharded solve == single-device grid solve (8 virtual CPU devices)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from acmpc_tpu.parallel.mesh import make_mesh, shard_map
+
+    mt, configs = _build_mt()
+    S = 8
+    mesh = make_mesh(8)
+    refs = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.asarray(
+                        with_widths(
+                            get_hairpin_track(40.0 + 5 * t + s, HORIZON)
+                        ),
+                        jnp.float32,
+                    )
+                    for t in range(len(TRACKS))
+                ]
+            )
+            for s in range(S)
+        ]
+    )
+    v_caps = jnp.asarray(
+        [min(30.0, c.unlocalised_max_speed or 30.0) for c in configs],
+        jnp.float32,
+    )
+    v_grid = jnp.broadcast_to(v_caps, (S, len(TRACKS)))
+    states = mt.initial_states(n_scenarios=S)
+
+    ref_out, _ = mt.get_control_grid(states, refs, v_grid)
+
+    def local(states, refs, v):
+        return mt._jitted_grid_step.__wrapped__(states, refs, mt.params, v)
+
+    spec = P("dp")
+    sharded = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    )
+    states_sh = jax.device_put(states, NamedSharding(mesh, P("dp")))
+    out, _ = sharded(states_sh, refs, v_grid)
+    assert int(out.solved.sum()) == S * len(TRACKS)
+    np.testing.assert_allclose(
+        np.asarray(out.projected_control),
+        np.asarray(ref_out.projected_control),
+        rtol=1e-5,
+        atol=1e-5,
+    )
