@@ -140,10 +140,15 @@ class AgentConfig:
     throttle_pid: PIDConfig
     brake_pid: PIDConfig
     steering_pid: PIDConfig
+    # dataset capture (reference configs' data_collection block:
+    # collect_images frames saved via recording/recorder.py)
+    collect_images: int = 0
+    data_collection_path: str = "data"
 
     @classmethod
     def from_config(cls, cfg: dict) -> "AgentConfig":
         msp = cfg["racing"]["map_speed_profile_constraints"]
+        dc = cfg.get("data_collection", {}) or {}
         return cls(
             experiment=cfg["experiment"],
             seed=cfg.get("seed", 0),
@@ -161,6 +166,8 @@ class AgentConfig:
             throttle_pid=PIDConfig.from_config(cfg["pids"]["throttle"]),
             brake_pid=PIDConfig.from_config(cfg["pids"]["brake"]),
             steering_pid=PIDConfig.from_config(cfg["pids"]["steering"]),
+            collect_images=int(dc.get("collect_images", 0)),
+            data_collection_path=dc.get("save_path", "data"),
         )
 
 

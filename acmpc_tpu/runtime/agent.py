@@ -29,14 +29,17 @@ from acmpc_tpu.config.schema import AgentConfig, load_config
 from acmpc_tpu.localise.localiser import Localiser
 from acmpc_tpu.localise.track_map import load_track_map
 from acmpc_tpu.mapping.map_maker import MapMaker
+from acmpc_tpu.localise.benchmarking.recording import LocalisationRecorder
 from acmpc_tpu.perception.observations import ObservationDict
 from acmpc_tpu.perception.perceiver import Perceiver
+from acmpc_tpu.recording.recorder import DataRecorder
 from acmpc_tpu.runtime.controller import Controller
 from acmpc_tpu.runtime.pid import BrakePID, SteeringPID, ThrottlePID
 from acmpc_tpu.runtime.sim import SimulatorInterface
 
 MINIMUM_PROGRESS = 0.0005  # reference agent.py:24-26
 MINIMUM_FUEL_L = 0.01
+STALLED_FRAMES = 100  # consecutive no-progress frames before termination
 REFERENCE_SPEED_WINDOW_AHEAD = 75
 REFERENCE_SPEED_WINDOW_BEHIND = 25
 
@@ -82,6 +85,14 @@ class Agent:
         self.mapper = MapMaker()
         self.localiser: Optional[Localiser] = None
         self.reference_speeds: Optional[np.ndarray] = None
+        # dataset capture (reference data_collection.collect_images)
+        self.recorder = DataRecorder(
+            self.cfg.data_collection_path, self.cfg.collect_images
+        )
+        # localisation benchmark capture (reference agent.py:267-278,
+        # saved at teardown agent.py:323-333) — created at racing setup
+        self._loc_recorder: Optional[LocalisationRecorder] = None
+        self._previous_frame_time = time.monotonic()
 
         self.pose = {"velocity": 0.0, "steering_angle": 0.0}
         self.steering_command = 0.0
@@ -90,6 +101,7 @@ class Agent:
         self.previous_acceleration_command = 0.0
         self._previous_position = None
         self._previous_distance = None
+        self._no_progress_frames = 0
         self._is_racing_setup = False
         self._is_mapping_setup = False
         self._last_map_update = time.monotonic()
@@ -143,6 +155,14 @@ class Agent:
             raise exc
         self.executor.submit(self._maybe_update_perception, obs, observation)
         self._step(obs)
+        now = time.monotonic()
+        self.recorder.maybe_record_data(
+            obs,
+            now - self._previous_frame_time,
+            self.steering_command,
+            self.acceleration_command,
+        )
+        self._previous_frame_time = now
         return self.control_input
 
     # -- perception path (worker thread) ---------------------------------
@@ -183,10 +203,13 @@ class Agent:
         if self.localiser is not None:
             mask_l = np.asarray(out["left_raw_mask"])
             mask_r = np.asarray(out["right_raw_mask"])
-            self.localiser.observe_tracklimits(
-                np.asarray(out["left_raw"])[mask_l],
-                np.asarray(out["right_raw"])[mask_r],
-            )
+            left = np.asarray(out["left_raw"])[mask_l]
+            right = np.asarray(out["right_raw"])[mask_r]
+            self.localiser.observe_tracklimits(left, right)
+            if self._loc_recorder is not None:
+                self._loc_recorder.record_observation(
+                    time.monotonic(), left, right
+                )
 
     def _maybe_add_observations_to_map(self, obs: ObservationDict):
         if self.mapper.map_built or self._latest_tracks is None:
@@ -211,6 +234,13 @@ class Agent:
         self.pose["steering_angle"] = obs["full_pose"]["SteeringRequest"]
         if self.localiser is not None:
             self.localiser.step(self.control_command)
+            if self._loc_recorder is not None:
+                fp = obs["full_pose"]
+                self._loc_recorder.record_control(
+                    time.monotonic(),
+                    self.control_command,
+                    {"x": fp["x"], "y": fp["y"], "yaw": fp["yaw"]},
+                )
 
     @property
     def control_command(self) -> tuple:
@@ -279,6 +309,10 @@ class Agent:
                 vehicle=self.cfg.vehicle,
                 seed=self.cfg.seed,
             )
+            if self.cfg.localisation.collect_benchmark_observations:
+                self._loc_recorder = LocalisationRecorder(
+                    self.cfg.localisation.benchmark_observations_save_location
+                )
         self._is_racing_setup = True
 
     def _calculate_speed_profile(self, centre_track: np.ndarray):
@@ -298,21 +332,28 @@ class Agent:
 
     # -- run loop & lifecycle (reference aci run loop) -------------------
     def termination_condition(self, observation: Dict) -> bool:
+        """Stalled-progress / empty-tank termination (reference
+        agent.py:42-76). Checked per frame; unlike the reference's
+        single-frame test (which relies on game-position jitter) a stall
+        must persist for N consecutive frames, so a standing start
+        doesn't terminate instantly."""
         state = observation["state"]
-        is_progressing = True
         position = state["normalised_car_position"]
         if self._previous_position is not None:
             if abs(position - self._previous_position) < MINIMUM_PROGRESS:
-                is_progressing = False
+                self._no_progress_frames += 1
+            else:
+                self._no_progress_frames = 0
         self._previous_position = position
-        return (not is_progressing) or state["fuel"] < MINIMUM_FUEL_L
+        stalled = self._no_progress_frames >= STALLED_FRAMES
+        return stalled or state["fuel"] < MINIMUM_FUEL_L
 
     def restart_condition(self, observation: Dict) -> bool:
         return False
 
-    def run(
-        self, max_steps: int = 100000, check_termination_every: int = 1000
-    ):
+    def run(self, max_steps: int = 100000, check_termination_every: int = 1):
+        """Drive the simulator; termination is checked per frame like the
+        reference run loop (aci agent.run -> termination_condition)."""
         assert self.simulator is not None, "no simulator attached"
         obs = self.simulator.reset()
         for step in range(max_steps):
@@ -327,5 +368,7 @@ class Agent:
     def teardown(self):
         self.controller.shutdown()
         self.executor.shutdown(wait=False)
+        if self._loc_recorder is not None:
+            self._loc_recorder.save()
         if self.simulator is not None:
             self.simulator.close()

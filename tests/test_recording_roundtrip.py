@@ -1,0 +1,130 @@
+"""Recording pipeline round trips (VERDICT r1 item 7).
+
+Closes the producer -> consumer chains the reference wires at
+agent.py:267-278 / localiser.py:581-630 / recording/recorder.py:
+1. live agent run with collect_benchmark_observations -> control.npy +
+   observations.npy -> BenchmarkLocalisation replay -> tracker metrics;
+2. live agent run with data_collection.collect_images -> dataset frames
+   + commands.json on disk.
+"""
+
+import dataclasses
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from acmpc_tpu.config import load_config
+from acmpc_tpu.localise.benchmarking.benchmark import BenchmarkLocalisation
+from acmpc_tpu.localise.track_map import save_track_map
+from acmpc_tpu.perception.camera import CameraInfo
+from acmpc_tpu.runtime import Agent, SyntheticSimulator
+from test_localise import make_asymmetric_map
+
+
+@pytest.fixture(scope="module")
+def recorded_run(tmp_path_factory):
+    """Drive the synthetic sim with localisation + both recorders on."""
+    tmp = tmp_path_factory.mktemp("recording")
+    tm = make_asymmetric_map()
+    map_path = str(tmp / "track.npz")
+    save_track_map(map_path, tm.centre, tm.left, tm.right)
+    loc_dir = str(tmp / "loc_recording")
+    data_dir = str(tmp / "dataset")
+
+    cfg = load_config("configs/monza.yaml")
+    cfg = dataclasses.replace(
+        cfg,
+        perception=dataclasses.replace(
+            cfg.perception,
+            image_width=320,
+            image_height=192,
+            n_rows_to_remove_bonnet=160,
+            n_polyfit_points=200,
+        ),
+        racing_control=dataclasses.replace(
+            cfg.racing_control,
+            horizon=20,
+            constraints=dataclasses.replace(
+                cfg.racing_control.constraints, v_max=30.0
+            ),
+        ),
+        localisation=dataclasses.replace(
+            cfg.localisation,
+            use_localisation=True,
+            n_particles=64,
+            n_converged_particles=64,
+            collect_benchmark_observations=True,
+            benchmark_observations_save_location=loc_dir,
+        ),
+        map_path=map_path,
+        collect_images=3,
+        data_collection_path=data_dir,
+    )
+
+    sim = SyntheticSimulator(
+        tm, CameraInfo.from_config(cfg.perception), dt=0.05,
+        start_index=50, half_width=5.0,
+    )
+    agent = Agent(cfg, sim, use_oracle_perception=True)
+    obs = sim.reset()
+    agent.behaviour(obs)
+    assert agent.controller.wait_for_first_command(timeout=180)
+    # pre-compile the PF update so the worker thread doesn't drop every
+    # frame during the first observe's jit compile, then reset the filter
+    dummy = np.zeros((4, 2), np.float32)
+    agent.localiser.observe_tracklimits(dummy, dummy)
+    agent.localiser.reset(seed=cfg.seed)
+    import time as _time
+
+    for _ in range(80):
+        obs = sim.step(agent.behaviour(obs))
+        _time.sleep(0.005)  # give the perception worker a slot
+    agent.teardown()
+    return cfg, map_path, loc_dir, data_dir
+
+
+def test_localisation_recording_replays_through_benchmark(recorded_run):
+    cfg, map_path, loc_dir, _ = recorded_run
+    assert (pathlib.Path(loc_dir) / "control.npy").exists()
+    assert (pathlib.Path(loc_dir) / "observations.npy").exists()
+
+    control = np.load(
+        pathlib.Path(loc_dir) / "control.npy", allow_pickle=True
+    ).item()
+    observations = np.load(
+        pathlib.Path(loc_dir) / "observations.npy", allow_pickle=True
+    ).item()
+    assert len(control) >= 50, f"only {len(control)} control records"
+    assert len(observations) >= 3, f"only {len(observations)} observations"
+    # ground truth rides along with every control record
+    pose = control[0]["game_pose"][0]
+    assert set(pose) == {"x", "y", "yaw"}
+
+    bench = BenchmarkLocalisation(
+        loc_dir,
+        map_path,
+        dataclasses.replace(
+            cfg.localisation, collect_benchmark_observations=False
+        ),
+        vehicle=cfg.vehicle,
+        seed=0,
+    )
+    summary = bench.run()
+    # the full recording replays through the production filter
+    assert bench.tracker._n_total_steps == len(control)
+    assert bench.tracker._n_total_observations == len(observations)
+    assert 0.0 <= summary["percent_localised"] <= 100.0
+    assert summary["n_steps"] == len(control)
+
+
+def test_dataset_capture_writes_frames_and_commands(recorded_run):
+    _, _, _, data_dir = recorded_run
+    base = pathlib.Path(data_dir) / "datacollection"
+    images = list((base / "images").glob("*.png"))
+    assert len(images) >= 2, "no camera frames captured"
+    commands = json.loads((base / "commands" / "commands.json").read_text())
+    assert len(commands) >= 2
+    row = next(iter(commands.values()))
+    assert {"dt", "steering_angle", "acceleration", "velocity"} <= set(row)
