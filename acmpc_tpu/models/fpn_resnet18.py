@@ -87,6 +87,28 @@ def _upsample(x, factor: int):
     )
 
 
+def _upsample_bilinear_align_corners(x, factor: int):
+    """Bilinear upsample with align_corners=True semantics — matches the
+    torch ``nn.UpsamplingBilinear2d`` smp uses in its segmentation head
+    (jax.image.resize only offers half-pixel-centre bilinear)."""
+
+    def axis_resize(v, size_in: int, size_out: int, axis: int):
+        pos = jnp.arange(size_out) * ((size_in - 1) / (size_out - 1))
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size_in - 1)
+        w_hi = (pos - lo).astype(v.dtype)
+        shape = [1] * v.ndim
+        shape[axis] = size_out
+        w_hi = w_hi.reshape(shape)
+        vl = jnp.take(v, lo, axis=axis)
+        vh = jnp.take(v, hi, axis=axis)
+        return vl * (1.0 - w_hi) + vh * w_hi
+
+    _, h, w, _ = x.shape
+    x = axis_resize(x, h, h * factor, 1)
+    return axis_resize(x, w, w * factor, 2)
+
+
 class Conv3x3GNReLU(nn.Module):
     features: int
     upsample: bool = False
@@ -98,7 +120,10 @@ class Conv3x3GNReLU(nn.Module):
             self.features, (3, 3), padding=1, use_bias=False,
             dtype=self.dtype, name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="gn")(x)
+        # epsilon matches torch GroupNorm (1e-5; flax defaults to 1e-6)
+        x = nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="gn"
+        )(x)
         x = nn.relu(x)
         if self.upsample:
             x = _upsample(x, 2)
@@ -171,7 +196,9 @@ class FPNResNet18(nn.Module):
         x = s5 + s4 + s3 + s2
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="head")(x)
-        return _upsample(x, 4)  # logits at input resolution
+        # smp's SegmentationHead upsamples with UpsamplingBilinear2d
+        # (align_corners=True), not nearest
+        return _upsample_bilinear_align_corners(x, 4)
 
 
 def convert_torch_state_dict(state_dict: dict) -> dict:
