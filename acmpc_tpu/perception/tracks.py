@@ -42,6 +42,9 @@ class TrackExtractionConfig:
     n_polyfit_points: int
     n_rows_to_remove_bonnet: int
     track_width_if_missing: float = 9.0  # utils/track_limit_interpolation.py
+    # isolate the vehicle-connected run chain before edge extraction (the
+    # contour/split-strategy counterpart; see select_vehicle_connected_runs)
+    connected_runs: bool = True
 
     @classmethod
     def from_config(cls, cfg: PerceptionConfig) -> "TrackExtractionConfig":
@@ -51,6 +54,78 @@ class TrackExtractionConfig:
             n_polyfit_points=cfg.n_polyfit_points,
             n_rows_to_remove_bonnet=cfg.n_rows_to_remove_bonnet,
         )
+
+
+def select_vehicle_connected_runs(
+    mask: jnp.ndarray,
+    bonnet_row: int,
+    gap_tolerance: int = 3,
+) -> jnp.ndarray:
+    """Keep only the drivable run chain vertically connected to the
+    vehicle — the TPU-native counterpart of the reference's contour
+    extraction + split strategies + monotone-y filtering
+    (reference tracks.py:38-178).
+
+    Why: per-row leftmost/rightmost edges (the reference's own fallback,
+    tracks.py:180-194) break when a raster row crosses the track twice —
+    a hairpin filling the view puts the near leg AND the far leg on the
+    same row, so the right edge jumps to the far leg and the polyfit fits
+    garbage. The reference walks the track contour instead; contours are
+    dynamic-shaped host work, so here the same semantics come from a
+    fixed-shape bottom-up scan:
+
+    * seed at the last row above the bonnet, on the run(s) touching the
+      central third of the image (where the ego vehicle looks);
+    * each row up, keep only the runs that overlap the previous row's
+      selection (run spread via a segment-max over run ids);
+    * a break in connectivity longer than ``gap_tolerance`` rows kills
+      the chain — exactly the monotone-y truncation at a hairpin apex;
+    * disconnected blobs (other track segments, noise) are never reached.
+
+    Returns a filtered 0/1 mask of the same shape. Falls back to the
+    input mask when the seed finds nothing (caller keeps the reference's
+    naive-fallback semantics).
+    """
+    H, W = mask.shape
+    row_bool = mask > 0
+    central = jnp.zeros((W,), bool).at[W // 3 : 2 * W // 3].set(True)
+    rev = row_bool[::-1]  # scan bottom-up
+    row_idx_rev = H - 1 - jnp.arange(H)
+    skip = row_idx_rev >= bonnet_row  # bonnet rows: ignore entirely
+
+    def spread(seeds, row, run_id):
+        """Expand seed pixels to their full drivable runs."""
+        m = jax.ops.segment_max(
+            seeds.astype(jnp.int32), run_id, num_segments=W + 1
+        )
+        return row & (m[run_id] > 0)
+
+    def step(carry, inp):
+        prev_sel, started, dead, miss = carry
+        row, skip_row = inp
+        run_id = jnp.cumsum(~row)
+        seeds = jnp.where(started, row & prev_sel, row & central)
+        sel = spread(seeds, row, run_id)
+        sel = jnp.where(skip_row | dead, jnp.zeros_like(sel), sel)
+        has = jnp.any(sel)
+        started_n = started | (has & ~skip_row)
+        miss_n = jnp.where(
+            has | ~started_n | skip_row, jnp.where(has, 0, miss), miss + 1
+        )
+        dead_n = dead | (miss_n > gap_tolerance)
+        prev_n = jnp.where(has, sel, prev_sel)
+        return (prev_n, started_n, dead_n, miss_n), sel
+
+    init = (
+        jnp.zeros((W,), bool),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    (_, _, _, _), sel_rev = jax.lax.scan(step, init, (rev, skip))
+    selected = sel_rev[::-1]
+    any_selected = jnp.any(selected)
+    return jnp.where(any_selected, selected, row_bool).astype(mask.dtype)
 
 
 def row_edge_columns(mask: jnp.ndarray):
@@ -149,6 +224,10 @@ class TrackLimitExtractor:
         BEV arrays plus raw masked boundary points for localisation."""
         cfg = self.cfg
         rows = jnp.arange(mask.shape[0])
+        if cfg.connected_runs:
+            mask = select_vehicle_connected_runs(
+                mask, cfg.n_rows_to_remove_bonnet
+            )
         left_cols, right_cols, row_valid = row_edge_columns(mask)
 
         left_valid = _edge_validity(left_cols, rows, row_valid, cfg)
