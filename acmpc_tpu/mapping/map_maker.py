@@ -69,11 +69,21 @@ def upsample_track(track: np.ndarray, desired_density: float = UPSAMPLE_DENSITY)
 def remove_near_duplicates(
     centres: np.ndarray, insides: np.ndarray, outsides: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    d = np.diff(centres, axis=0)
-    dists = np.hypot(d[:, 0], d[:, 1])
-    keep = np.ones(len(centres), bool)
-    keep[1:] = dists > 1e-4
-    return centres[keep], insides[keep], outsides[keep]
+    """Drop consecutive near-duplicate points, per track. The reference
+    (map_maker.py:115-129) indexes all three tracks with the CENTRE
+    track's mask, which crashes whenever upsampling gives the boundaries
+    different lengths (their perimeters differ); the tracks are not
+    index-aligned after independent TSP ordering anyway, so each is
+    deduplicated against its own diffs."""
+
+    def dedup(track: np.ndarray) -> np.ndarray:
+        d = np.diff(track, axis=0)
+        dists = np.hypot(d[:, 0], d[:, 1])
+        keep = np.ones(len(track), bool)
+        keep[1:] = dists > 1e-4
+        return track[keep]
+
+    return dedup(centres), dedup(insides), dedup(outsides)
 
 
 class MapMaker:

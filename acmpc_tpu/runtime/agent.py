@@ -216,13 +216,21 @@ class Agent:
             return
         if not self.cfg.create_map:
             return
-        if time.monotonic() - self._last_map_update <= 0.1:
+        # >=0.1 s between accumulated frames (reference agent.py:255-265).
+        # The reference uses wall clock because it runs in real time; when
+        # the observation carries a session clock (i_current_time, ms) we
+        # gate on SIM time instead so faster-than-real-time simulators
+        # still accumulate a full lap of frames. The session clock resets
+        # per lap — treat time going backwards as an update being due.
+        sim_ms = obs.get("i_current_time")
+        now = (sim_ms / 1000.0) if sim_ms is not None else time.monotonic()
+        if 0.0 <= now - self._last_map_update <= 0.1:
             return
         t = self._latest_tracks
         self.mapper.process_segmentation_tracks(
             obs["full_pose"], t["left"], t["right"], t["centre"]
         )
-        self._last_map_update = time.monotonic()
+        self._last_map_update = now
 
     # -- frame-rate state updates ----------------------------------------
     def _step(self, obs: ObservationDict):
@@ -299,6 +307,9 @@ class Agent:
         track_map = load_track_map(self._map_path)
         self._calculate_speed_profile(np.asarray(track_map.centre))
         self.mapper.map_built = True
+        # switch the control thread from the mapping MPC to the racing MPC
+        # (reference flips its shared mapping flag when racing begins)
+        self.controller.is_mapping = False
         if (
             self.cfg.localisation.use_localisation
             or self.cfg.localisation.collect_benchmark_observations

@@ -1,0 +1,137 @@
+"""Mapping-mode end to end (VERDICT r1 items 4/6): the agent's primary
+first-session workflow — drive unknown track, accumulate perceived
+boundaries, finalise + save the self-built map, then bootstrap racing on
+it (reference agent.py:145-184, map_maker.py:132-177).
+
+Runs sim-free on the synthetic simulator with oracle perception.
+"""
+
+import dataclasses
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acmpc_tpu.config import load_config
+from acmpc_tpu.localise.track_map import TrackMap, load_track_map
+from acmpc_tpu.perception.camera import CameraInfo
+from acmpc_tpu.runtime import Agent, SyntheticSimulator
+
+
+def small_loop_map(m=600):
+    """Small closed loop (~330 m) so one mapping lap stays test-sized."""
+    theta = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    r = 52.0 + 5.0 * np.sin(theta) + 2.5 * np.sin(2 * theta)
+    centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+    d = np.roll(centre, -1, axis=0) - centre
+    t = d / np.linalg.norm(d, axis=1, keepdims=True)
+    n = np.stack([-t[:, 1], t[:, 0]], axis=1)
+    return TrackMap(
+        centre=jnp.asarray(centre, jnp.float32),
+        left=jnp.asarray(centre + 5.0 * n, jnp.float32),
+        right=jnp.asarray(centre - 5.0 * n, jnp.float32),
+    )
+
+
+def test_mapping_laps_build_map_then_racing_bootstrap(tmp_path):
+    tm = small_loop_map()
+    self_map = str(tmp_path / "selfmap.npy")
+
+    cfg = load_config("configs/monza.yaml")
+    cfg = dataclasses.replace(
+        cfg,
+        perception=dataclasses.replace(
+            cfg.perception,
+            image_width=320,
+            image_height=192,
+            n_rows_to_remove_bonnet=160,
+            n_polyfit_points=200,
+        ),
+        mapping_control=dataclasses.replace(
+            cfg.mapping_control,
+            horizon=20,
+            constraints=dataclasses.replace(
+                cfg.mapping_control.constraints, v_max=14.0
+            ),
+        ),
+        racing_control=dataclasses.replace(
+            cfg.racing_control,
+            horizon=20,
+            constraints=dataclasses.replace(
+                cfg.racing_control.constraints, v_max=25.0
+            ),
+        ),
+        localisation=dataclasses.replace(
+            cfg.localisation, use_localisation=False
+        ),
+        map_path=self_map,
+        create_map=True,
+        n_mapping_laps=1,
+    )
+
+    sim = SyntheticSimulator(
+        tm, CameraInfo.from_config(cfg.perception), dt=0.05,
+        start_index=10, half_width=5.0,
+    )
+    agent = Agent(cfg, sim, use_oracle_perception=True)
+    try:
+        assert agent._is_mapping
+        assert agent.controller.is_mapping
+
+        obs = sim.reset()
+        agent.behaviour(obs)
+        assert agent.controller.wait_for_first_command(timeout=180)
+
+        # -- mapping lap --------------------------------------------------
+        for step in range(4000):
+            obs = sim.step(agent.behaviour(obs))
+            if agent.mapper.map_built:
+                break
+        assert agent.mapper.map_built, (
+            f"map never built: laps={sim.laps} d={sim.distance:.0f}"
+        )
+        assert pathlib.Path(self_map).exists()
+        stem = self_map.rsplit(".", 1)[0]
+        assert pathlib.Path(f"{stem}-raw-points.npy").exists()
+
+        # -- self-built map matches the true track ------------------------
+        built = load_track_map(self_map)
+        centre_true = np.asarray(tm.centre)
+        centre_built = np.asarray(built.centre)
+        assert len(centre_built) > 100
+        d = np.linalg.norm(
+            centre_built[:, None, :] - centre_true[None, :, :], axis=-1
+        ).min(axis=1)
+        assert float(np.median(d)) < 2.5, f"median centre error {np.median(d):.2f} m"
+        # coverage: the built map spans most of the lap
+        seg = np.linalg.norm(np.diff(centre_built, axis=0), axis=1).sum()
+        true_len = np.linalg.norm(
+            np.diff(centre_true, axis=0), axis=1
+        ).sum()
+        assert seg > 0.6 * true_len, f"built {seg:.0f} m of {true_len:.0f} m"
+
+        # -- racing bootstrap on the self-built map -----------------------
+        for _ in range(30):
+            obs = sim.step(agent.behaviour(obs))
+        assert agent._is_racing_setup
+        assert not agent.controller.is_mapping
+        assert agent.reference_speeds is not None
+        # waypoint construction yields n-1 speeds for n centre points
+        assert abs(len(agent.reference_speeds) - len(centre_built)) <= 2
+
+        # the car keeps lapping on the self-built map
+        d0 = sim.distance
+        offtrack = 0.0
+        for _ in range(100):
+            obs = sim.step(agent.behaviour(obs))
+            offtrack = max(
+                offtrack,
+                float(
+                    np.linalg.norm(centre_true - sim.pose[:2], axis=1).min()
+                ),
+            )
+        assert sim.distance - d0 > 20.0
+        assert offtrack < 5.0, f"car left the track: {offtrack:.2f} m"
+    finally:
+        agent.teardown()
