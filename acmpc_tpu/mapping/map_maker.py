@@ -139,13 +139,21 @@ class MapMaker:
 
     @staticmethod
     def _calculate_centre_track(outsides: np.ndarray, insides: np.ndarray) -> np.ndarray:
-        d2 = (
-            np.sum(insides**2, axis=1)[:, None]
-            - 2.0 * insides @ outsides.T
-            + np.sum(outsides**2, axis=1)[None, :]
-        )
-        nearest_outside = outsides[np.argmin(d2, axis=1)]
-        return MapMaker.order_points((insides + nearest_outside) / 2.0)
+        """centre = midpoint of each inside point and its nearest outside
+        point (reference map_maker.py:87-95). Chunked so nordschleife-
+        length maps (tens of thousands of frames) don't materialise an
+        n^2 distance matrix."""
+        out_sq = np.sum(outsides**2, axis=1)[None, :]
+        nearest = np.empty(len(insides), np.int64)
+        for i in range(0, len(insides), 1024):
+            block = insides[i : i + 1024]
+            d2 = (
+                np.sum(block**2, axis=1)[:, None]
+                - 2.0 * block @ outsides.T
+                + out_sq
+            )
+            nearest[i : i + 1024] = np.argmin(d2, axis=1)
+        return MapMaker.order_points((insides + outsides[nearest]) / 2.0)
 
     @staticmethod
     def _earlier_points_come_before_later(ordered, raw) -> bool:

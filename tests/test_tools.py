@@ -1,8 +1,12 @@
 """Tests for the offline tooling: localisation benchmark replay, raceline
 calculator, Pacejka model, recorder, dashboard rendering, monitors."""
 
+import pathlib
+
 import numpy as np
 import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 from test_localise import make_asymmetric_map, observation_from_pose
 
@@ -186,3 +190,35 @@ def test_system_monitor_percentiles():
     s = mon.summary("test_system_monitor_percentiles.<locals>.work")
     assert s["n"] == 10
     assert s["p99_ms"] >= s["p50_ms"] >= 0
+
+
+def test_build_synth_track_pipeline(tmp_path):
+    """The synthetic-circuit generator drives the REAL mapping pipeline
+    (MapMaker.process_segmentation_tracks -> save_map) and the shipped
+    map must stay within boundary error of the ground-truth centreline
+    (reference builds its shipped maps the same way: map_maker.py:132-225)."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    from build_synth_track import (
+        boundaries,
+        drive_mapping_pipeline,
+        generate_centreline,
+    )
+    from scipy.spatial import cKDTree
+
+    centre, _ = generate_centreline(2000.0, seed=3)
+    # closed circuit: endpoint gap below one step
+    assert np.linalg.norm(centre[-1] - centre[0]) < 4.0
+    left, right = boundaries(centre)
+    out = tmp_path / "synth.npy"
+    built = drive_mapping_pipeline(centre, left, right, str(out))
+    assert len(built["centre_track"]) > 1000
+    d, _ = cKDTree(centre).query(built["centre_track"])
+    assert np.median(d) < 1.0  # built centre hugs ground truth
+    assert np.percentile(d, 95) < 3.0
+    # the built map loads through the production loader
+    from acmpc_tpu.localise.track_map import load_track_map
+
+    tm = load_track_map(out)
+    assert tm.centre.shape[0] == len(built["centre_track"])
