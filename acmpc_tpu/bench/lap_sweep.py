@@ -245,7 +245,7 @@ class LapSweep:
         v = np.asarray(metrics["v"])
         off = np.asarray(metrics["offtrack"])
         solved = np.asarray(metrics["solved"])
-        return {
+        out = {
             "scenarios": int(v.shape[0]),
             "steps": int(n_steps),
             "total_solves": int(v.shape[0] * n_steps),
@@ -253,3 +253,35 @@ class LapSweep:
             "p95_offtrack_m": float(np.percentile(off, 95)),
             "solve_success_rate": float(solved.mean()),
         }
+        # Failure diagnosis (by QP status, admm.py STATUS_*): distinguish
+        # genuine infeasibility certificates from iteration-budget
+        # exhaustion, and whether failures are transient (scenario
+        # recovers on a later step) or persistent.
+        if "control_status" in metrics:
+            status = np.asarray(metrics["control_status"])
+            fails = ~solved.astype(bool)
+            n = max(int(fails.sum()), 1)
+            persistent = fails[:, -1] & (fails.sum(axis=1) > n_steps // 2)
+            out.update(
+                fail_max_iter_frac=float((fails & (status == 0)).sum() / n),
+                fail_primal_infeasible_frac=float(
+                    (fails & (status == 2)).sum() / n
+                ),
+                fail_persistent_scenarios=int(persistent.sum()),
+            )
+        # Crash split: a car outside the drivable corridor (|e_y| >
+        # width/2 - vehicle margin, the control QP's box bound on e_y at
+        # k>=1) makes the QP genuinely infeasible — the correct response
+        # is keep-last-command (reference spatial_mpc.py behaviour), and
+        # those solves should not be read as solver weakness. Report
+        # failures conditioned on being inside the corridor separately.
+        half_drivable = self.half_width - self.mpc.model.margin
+        in_corridor = off <= half_drivable
+        fails = ~solved.astype(bool)
+        out.update(
+            crashed_scenarios=int((~in_corridor).any(axis=1).sum()),
+            in_corridor_fail_rate=float(
+                (fails & in_corridor).sum() / max(in_corridor.sum(), 1)
+            ),
+        )
+        return out

@@ -52,16 +52,42 @@ def s2t(path: ReferencePath, spatial_states: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([xs, ys, psis], axis=-2)
 
 
-def linearise(path: ReferencePath):
+def linearise(path: ReferencePath, time_mode: str = "reference"):
     """Jacobian linearisation of the spatial dynamics around the reference
     velocities/curvatures of ``path`` (reference dynamics.py:65-103).
 
     Returns ``(f, A, B)`` with shapes (N, 3), (N, 3, 3), (N, 3, 2):
       A_k = [[1,         ds_k, 0],
              [-k_k^2 ds, 1,    0],
-             [-k_k/(v_k ds_k), 0, 1]]
-      B_k = [[0, 0], [0, ds_k], [-1/(v_k^2 ds_k), 0]]
-      f_k = [0, 0, 1/(v_k ds_k)]
+             [dt_dey_k,  0,    1]]
+      B_k = [[0, 0], [0, ds_k], [dt_dv_k, 0]]
+      f_k = [0, 0, dt_nom_k]
+
+    Time-row conventions. The physical stage time is
+    dt = ds (1 - kappa e_y) / v, whose linearisation is
+      dt_nom = ds/v,  dt_dv = -ds/v^2,  dt_dey = -kappa ds/v
+    (``time_mode="exact"``). The reference's coefficients
+    (dynamics.py:84-101) instead divide by (v ds):
+      dt_nom = 1/(v ds),  dt_dv = -1/(v^2 ds),  dt_dey = -kappa/(v ds)
+    — dimensionally a clock only at ds == 1 m (``time_mode="reference"``,
+    the default).
+
+    The default stays "reference" DELIBERATELY: inside the control QP the
+    time state is a cost-shaping variable, decoupled from the e_y/e_psi
+    rows, and every shipped track config's time weights
+    (final_cost[2] etc.) were tuned against the reference's units —
+    costing physical seconds instead makes the planner outrun the
+    lateral-acceleration-limited speed profile by several m/s in
+    hairpins. The place where a REAL clock matters is the temporal
+    command selector (commands.py:20-38): at 2 m waypoint spacing the
+    reference's cum_time runs 4x fast and the selector applies commands
+    planned for stages far down the horizon — an actively destabilising
+    feedback at speed (verified: a car 2 m off a dead-straight centreline
+    at ~20 m/s diverges on the reference's clock). This framework
+    therefore computes the published ``MPCState.cum_time`` EXACTLY from
+    the solved plan kinematics at extraction (SpatialMPC._extract) —
+    zero linearisation error — and never reads the QP's internal time
+    state as a clock.
     """
     ds = path.distances
     kappa = path.kappas
@@ -69,17 +95,26 @@ def linearise(path: ReferencePath):
     zeros = jnp.zeros_like(ds)
     ones = jnp.ones_like(ds)
 
+    if time_mode == "reference":
+        dt_dey = -kappa / (v * ds + _EPS)
+        dt_dv = -1.0 / (v**2 * ds + _EPS)
+        dt_nom = 1.0 / (v * ds + _EPS)
+    else:
+        dt_dey = -kappa * ds / (v + _EPS)
+        dt_dv = -ds / (v**2 + _EPS)
+        dt_nom = ds / (v + _EPS)
+
     a_1 = jnp.stack([ones, ds, zeros], axis=-1)
     a_2 = jnp.stack([-(kappa**2) * ds, ones, zeros], axis=-1)
-    a_3 = jnp.stack([-kappa / (v * ds + _EPS), zeros, ones], axis=-1)
+    a_3 = jnp.stack([dt_dey, zeros, ones], axis=-1)
     A = jnp.stack([a_1, a_2, a_3], axis=-2)
 
     b_1 = jnp.stack([zeros, zeros], axis=-1)
     b_2 = jnp.stack([zeros, ds], axis=-1)
-    b_3 = jnp.stack([-1.0 / (v**2 * ds + _EPS), zeros], axis=-1)
+    b_3 = jnp.stack([dt_dv, zeros], axis=-1)
     B = jnp.stack([b_1, b_2, b_3], axis=-2)
 
-    f = jnp.stack([zeros, zeros, 1.0 / (v * ds + _EPS)], axis=-1)
+    f = jnp.stack([zeros, zeros, dt_nom], axis=-1)
     return f, A, B
 
 

@@ -41,15 +41,28 @@ def assemble_control_qp(
     final_cost: jnp.ndarray,
     u_min=None,
     u_max=None,
+    time_mode: str = "tuned",
 ):
     """Return (P, q, A, l, u) for the horizon QP. ``path`` has n waypoints
-    (horizon-1); all shapes static in n."""
+    (horizon-1); all shapes static in n.
+
+    time_mode:
+      "tuned" (default) — the production QP: reference time-row units
+        (the shipped configs' time weights are tuned against them, see
+        ``linearise``) with the structurally-contradictory t_0 bound
+        exempted (below).
+      "reference" — bit-exact reference QP (time row AND bound surface
+        verbatim), for the element-wise parity tests.
+      "exact" — physical-seconds time row, for experiments.
+    """
     n = path.n_points
     dtype = path.xs.dtype
     n_var = NX * (n + 1) + NU * n
     n_eq = NX * (n + 1)
 
-    f, A_blocks, B_blocks = linearise(path)
+    f, A_blocks, B_blocks = linearise(
+        path, time_mode="exact" if time_mode == "exact" else "reference"
+    )
     u_ref = jnp.stack([path.velocities, path.kappas], axis=-1)  # (n, 2)
 
     # --- equality rows: [A_x | B_u] ------------------------------------
@@ -77,7 +90,20 @@ def assemble_control_qp(
     eq_bound = jnp.concatenate([-spatial_state.astype(dtype), uq])
 
     # --- box rows (identity) -------------------------------------------
-    x_min = jnp.tile(jnp.asarray([-_INF, -_INF, 0.01], dtype), n + 1)
+    # The reference bounds the time state at t >= 0.01 (control.py:134);
+    # we keep that verbatim ONLY in the bit-exact parity mode. It is
+    # broken twice over: (a) it also binds t_0, which the initial-state
+    # equality pins to 0 (dynamics.py:37-39), making every reference QP
+    # structurally infeasible by 0.01; (b) at waypoint spacing where the
+    # linearised stage time dt_nom = 1/(v ds) < 0.01 (ds over ~4 m at
+    # racing speed), the only way the model can push t_1 above 0.01 is
+    # to SLASH v_0 — an fp64 solve of the reference QP at 13 m spacing
+    # returns v_0 = 5.6 m/s against a 12 m/s reference (OSQP/our ADMM
+    # only escape because Ruiz scaling hides the violation below
+    # tolerance). This framework never reads the QP's time state as a
+    # clock (see SpatialMPC._extract), so the bound serves no purpose.
+    t_min = 0.01 if time_mode == "reference" else -_INF
+    x_min = jnp.tile(jnp.asarray([-_INF, -_INF, t_min], dtype), n + 1)
     x_max = jnp.tile(jnp.asarray([_INF, _INF, _INF], dtype), n + 1)
     # pin x_0's e_y to the measured lateral offset (control.py:55-56)
     x_min = x_min.at[0].set(spatial_state[0])

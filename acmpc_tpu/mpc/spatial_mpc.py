@@ -259,7 +259,7 @@ class SpatialMPC:
 
     def _extract(self, state, path, speed_sol, control_sol):
         n = self.horizon - 1
-        ok = (speed_sol.status == 1) & (control_sol.status == 1)
+        ok = (speed_sol.status == 1) & control_sol.solved
 
         # command extraction (spatial_mpc.py:193-212)
         u_flat = control_sol.x[-n * self.nu :]
@@ -269,7 +269,21 @@ class SpatialMPC:
 
         states = control_sol.x[: n * self.nx].reshape(n, self.nx)
         prediction = s2t(path, states)[:2].T
-        cum_time = states[:, 2]
+        # The published clock is computed EXACTLY from the solved plan —
+        # dt_k = ds_k (1 - kappa_k e_y_k) / v_k — rather than read from
+        # the QP's internal time state, which is kept in the reference's
+        # cost-tuning units (dimensionless unless ds == 1 m; see
+        # linearise). This fixes the reference's command-selection timing
+        # bug at ds != 1 m with zero linearisation error: the temporal
+        # selector (runtime/commands.py) receives real seconds.
+        dt = (
+            path.distances
+            * (1.0 - path.kappas * states[:, 0])
+            / jnp.maximum(vels, 0.1)
+        )
+        cum_time = jnp.concatenate(
+            [jnp.zeros_like(dt[:1]), jnp.cumsum(dt[:-1])]
+        )
 
         new_state = MPCState(
             projected_control=jnp.where(ok, projected, state.projected_control),

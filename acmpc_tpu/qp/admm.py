@@ -39,16 +39,31 @@ _MAX_SCALING = 1e4
 STATUS_MAX_ITER = 0
 STATUS_SOLVED = 1
 STATUS_PRIMAL_INFEASIBLE = 2
+# OSQP's "solved inaccurate": the iteration budget ran out with residuals
+# inside cfg.inaccurate_factor * tolerance. fp64 OSQP rarely needs it; an
+# fp32 engine does — on the hardest horizon-50 problems the dual residual
+# floors within a small multiple of the fp64-calibrated 1e-3 tolerance,
+# and treating that as failure would discard a control sequence accurate
+# to ~3e-3 in normalised units (far below actuation noise).
+STATUS_SOLVED_INACCURATE = 3
 
 
 @dataclasses.dataclass(frozen=True)
 class ADMMConfig:
-    sigma: float = 1e-6
+    # proximal regularisation: OSQP defaults to 1e-6, but fp32 needs the
+    # extra decade — at 1e-6 the x-update system K = P + sigma I + A'RA is
+    # ~1e8-conditioned and (even Newton-refined) its inverse floors the
+    # dual residual at ~4e-3 on the hardest horizon-50 windows; 1e-5
+    # conditions K an order better with no measurable solution bias
+    sigma: float = 1e-5
     rho: float = 0.1
     alpha: float = 1.6
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
     eps_prim_inf: float = 1e-4
+    # residuals within this multiple of tolerance at max_iter count as
+    # STATUS_SOLVED_INACCURATE (OSQP's reduced-accuracy acceptance)
+    inaccurate_factor: float = 3.0
     max_iter: int = 4000
     # RTI mode: run EXACTLY this many iterations with no convergence
     # checks inside the loop (one residual check at the end) — constant
@@ -89,7 +104,9 @@ class QPSolution:
 
     @property
     def solved(self) -> jnp.ndarray:
-        return self.status == STATUS_SOLVED
+        return (self.status == STATUS_SOLVED) | (
+            self.status == STATUS_SOLVED_INACCURATE
+        )
 
 
 def _inf_norm(x, axis=None):
@@ -159,7 +176,26 @@ def _factor(P, A, rho_vec, sigma):
     L_inv = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(n, dtype=P.dtype), lower=True
     )
-    return L_inv.T @ L_inv
+    M = L_inv.T @ L_inv
+    # Two GUARDED Newton steps on the inverse, M <- M + M(I - KM): each
+    # squares the residual R = I - KM, recovering the accuracy fp32
+    # Cholesky loses on ill-conditioned K. Without this the ADMM dual
+    # residual floors at a few times tolerance on hard horizon-50
+    # problems; with it r_dual reaches ~1e-4 in 50 iterations. Newton
+    # iteration on an inverse only contracts when ||R|| < 1 — on
+    # ~1e8-conditioned K (e.g. rho pushed to its 1e6 cap) the fp32
+    # Cholesky residual exceeds 1 and an unguarded step DIVERGES
+    # (r_dual stalls ~rho). Guard each step on a measured contraction.
+    # Four matmuls once per factorisation, amortised over every
+    # iteration; unlike per-iteration refine_steps this also reaches
+    # the fused Pallas path, which consumes K_inv via the stacked
+    # operator.
+    eye = jnp.eye(n, dtype=P.dtype)
+    for _ in range(2):
+        R = eye - K @ M
+        contracts = jnp.sum(R * R) < 1.0  # ||R||_F < 1 => Newton contracts
+        M = jnp.where(contracts, M + M @ R, M)
+    return M
 
 
 def _cho_solve(K_inv, b):
@@ -225,6 +261,9 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
             jnp.maximum(_inf_norm(Px_u), _inf_norm(Aty_u)), _inf_norm(q_u)
         )
         converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+        near = (r_prim <= cfg.inaccurate_factor * eps_prim) & (
+            r_dual <= cfg.inaccurate_factor * eps_dual
+        )
         # adaptive rho ratio (normalised residuals)
         prim_n = r_prim / jnp.maximum(
             jnp.maximum(_inf_norm(Ax_u), _inf_norm(z_u)), 1e-10
@@ -234,7 +273,7 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
             1e-10,
         )
         ratio = jnp.sqrt(prim_n / jnp.maximum(dual_n, 1e-10))
-        return r_prim, r_dual, converged, ratio
+        return r_prim, r_dual, converged, near, ratio
 
     use_pallas = cfg.use_pallas == "on" or (
         cfg.use_pallas == "auto" and jax.default_backend() == "tpu"
@@ -332,8 +371,12 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         x, z, y = admm_chunk(
             x, z, y, rho_vec0, op0, n_iters=cfg.fixed_iterations
         )
-        r_p, r_d, converged, _ = residuals(x, y, z, rho0)
-        status = jnp.where(converged, STATUS_SOLVED, STATUS_MAX_ITER)
+        r_p, r_d, converged, near, _ = residuals(x, y, z, rho0)
+        status = jnp.where(
+            converged,
+            STATUS_SOLVED,
+            jnp.where(near, STATUS_SOLVED_INACCURATE, STATUS_MAX_ITER),
+        )
         return QPSolution(
             x=x * d,
             y=y * e / c,
@@ -366,12 +409,17 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         y_before = y
         x, z, y = admm_chunk(x, z, y, _rho_vector(rho, ls, us), op)
         it = it + cfg.check_every
-        r_p, r_d, converged, ratio = residuals(x, y, z, rho)
+        r_p, r_d, converged, near, ratio = residuals(x, y, z, rho)
         prim_inf = primal_infeasibility_certificate(y - y_before) & ~converged
         status = jnp.where(
             converged,
             STATUS_SOLVED,
-            jnp.where(prim_inf, STATUS_PRIMAL_INFEASIBLE, STATUS_MAX_ITER),
+            jnp.where(
+                prim_inf,
+                STATUS_PRIMAL_INFEASIBLE,
+                # only takes effect if this is the last chunk (max_iter)
+                jnp.where(near, STATUS_SOLVED_INACCURATE, STATUS_MAX_ITER),
+            ),
         )
         done = converged | prim_inf
         if cfg.adaptive_rho:

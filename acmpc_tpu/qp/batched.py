@@ -25,6 +25,7 @@ from acmpc_tpu.qp.admm import (
     STATUS_MAX_ITER,
     STATUS_PRIMAL_INFEASIBLE,
     STATUS_SOLVED,
+    STATUS_SOLVED_INACCURATE,
     _INF,
     _factor,
     _rho_vector,
@@ -139,7 +140,10 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
             batched_norm(q_u),
         )
         converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
-        return r_prim, r_dual, converged
+        near = (r_prim <= cfg.inaccurate_factor * eps_prim) & (
+            r_dual <= cfg.inaccurate_factor * eps_dual
+        )
+        return r_prim, r_dual, converged, near
 
     def prim_inf_certificate(dy):
         dy_u_norm = batched_norm(e * dy) / c
@@ -153,8 +157,12 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
 
     if cfg.fixed_iterations is not None:
         x, z, y = chunk(x, z, y, int(cfg.fixed_iterations))
-        r_p, r_d, converged = residuals(x, y, z)
-        status = jnp.where(converged, STATUS_SOLVED, STATUS_MAX_ITER)
+        r_p, r_d, converged, near = residuals(x, y, z)
+        status = jnp.where(
+            converged,
+            STATUS_SOLVED,
+            jnp.where(near, STATUS_SOLVED_INACCURATE, STATUS_MAX_ITER),
+        )
         return QPSolution(
             x=x * d,
             y=y * e / c[:, None],
@@ -178,13 +186,18 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
         zn = jnp.where(keep, z, zn)
         yn_frozen = jnp.where(keep, y, yn)
         it = it + cfg.check_every
-        r_pn, r_dn, converged = residuals(xn, yn_frozen, zn)
+        r_pn, r_dn, converged, near = residuals(xn, yn_frozen, zn)
         prim_inf = prim_inf_certificate(yn_frozen - y) & ~converged & ~done
         newly_done = (converged | prim_inf) & ~done
         status = jnp.where(
             newly_done,
             jnp.where(converged, STATUS_SOLVED, STATUS_PRIMAL_INFEASIBLE),
-            status,
+            # still-running scenarios carry the near flag so a max_iter
+            # exit reports STATUS_SOLVED_INACCURATE when within
+            # inaccurate_factor * tolerance (OSQP semantics)
+            jnp.where(
+                ~done & near, STATUS_SOLVED_INACCURATE, jnp.where(~done, STATUS_MAX_ITER, status)
+            ),
         )
         its = jnp.where(newly_done, it, its)
         done = done | newly_done

@@ -1,13 +1,24 @@
 """Benchmark: MPC solves/s per chip at full racing horizon (H=50).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The scenario batch is solved as one jitted, vmapped program (the TPU-native
-replacement for the reference's per-step OSQP loop in
-/root/reference/src/acmpc/control/controller.py:226-231). Baseline
-denominator: MEASURED on this machine by tools/measure_cpu_baseline.py,
-which drives the reference's own get_control loop
+Sections (all on-device, one chip):
+  - throughput: B=256 scenario batch as one jitted program (the TPU-native
+    replacement for the reference's per-step OSQP loop,
+    /root/reference/src/acmpc/control/controller.py:226-231)
+  - latency: blocked-step p50/p99 at B=1 (the production agent path,
+    SpatialMPC.jitted_get_control) and B in {8, 32, 256} (fused batched
+    engine) — the reference serves game frames at ~20-60 Hz, so the
+    real-time budget is 16-50 ms
+  - robustness: BASELINE config 3 — 4096 perturbed scenarios solved in one
+    step, with HBM headroom
+  - closed loop: lap sweep on the SHIPPED 19.7 km mapping-pipeline-built
+    circuit (data/maps/synth_nordschleife.npy), with per-status failure
+    breakdown
+
+Baseline denominator: MEASURED by tools/measure_cpu_baseline.py, which
+drives the reference's own get_control loop
 (/root/reference/src/acmpc/control/spatial_mpc.py:170-217) on sliding
 horizon-50 centreline windows across all 7 track configs and records
 baseline_cpu.json. The denominator is the upper-bound variant (QP solve
@@ -24,11 +35,12 @@ import time
 
 import numpy as np
 
+ROOT = pathlib.Path(__file__).parent
 _FALLBACK_BASELINE = 500.0  # estimate used before baseline_cpu.json existed
 
 
 def _cpu_baseline_solves_per_s() -> tuple[float, str]:
-    path = pathlib.Path(__file__).parent / "baseline_cpu.json"
+    path = ROOT / "baseline_cpu.json"
     if path.exists():
         data = json.loads(path.read_text())
         return float(data["denominator_solves_per_s"]), data["denominator_kind"]
@@ -40,18 +52,10 @@ CPU_BASELINE_SOLVES_PER_S, CPU_BASELINE_KIND = _cpu_baseline_solves_per_s()
 HORIZON = 50
 
 
-def main():
-    import jax
+def _mixed_refs(ge, batch: int):
+    """Half gentle curves, half hairpins (feasible at H=50)."""
     import jax.numpy as jnp
 
-    import __graft_entry__ as ge
-
-    backend = jax.default_backend()
-    n_dev = jax.device_count()
-    batch = 256 if backend != "cpu" else 32
-
-    mpc = ge._make_mpc(HORIZON)
-    # mixed difficulty: half gentle curves, half hairpins (feasible at H=50)
     from acmpc_tpu.geometry.tracks import get_hairpin_track, with_widths
 
     gentle = np.asarray(ge._reference_window(HORIZON, batch // 2))
@@ -61,10 +65,22 @@ def main():
             for i in range(batch - batch // 2)
         ]
     )
-    refs = jnp.asarray(np.concatenate([gentle, hard]), jnp.float32)
+    return jnp.asarray(np.concatenate([gentle, hard]), jnp.float32)
 
+
+def main():
+    import jax
+
+    import __graft_entry__ as ge
+
+    backend = jax.default_backend()
+    n_dev = jax.device_count()
+    on_tpu = backend != "cpu"
+    batch = 256 if on_tpu else 32
+
+    mpc = ge._make_mpc(HORIZON)
+    refs = _mixed_refs(ge, batch)
     states = jax.vmap(lambda: mpc.initial_state(), axis_size=batch)()
-    # explicitly-batched step: control QP via the fused-Pallas engine
     step = lambda s, r: mpc.batched_get_control_fused(s, r)[0]
 
     # warmup / compile
@@ -78,25 +94,27 @@ def main():
         out = step(out, refs)
     jax.block_until_ready(out.projected_control)
     dt = time.perf_counter() - t0
-    solves_per_s = batch * iters / dt
+    per_chip = batch * iters / dt  # single-chip benchmark
 
-    # latency: per-step blocked round trips (dispatch + execute)
-    times = []
-    for _ in range(10):
-        t1 = time.perf_counter()
-        out = step(out, refs)
-        jax.block_until_ready(out.projected_control)
-        times.append(time.perf_counter() - t1)
-    per_chip = solves_per_s / 1  # single-chip benchmark (bench runs on 1 chip)
+    # latency: blocked round trips (dispatch + execute) per batch size
+    latency = {str(batch): _blocked_latency(lambda: step(out, refs))}
+    for b in (1, 8, 32):
+        if b >= batch:
+            continue
+        latency[str(b)] = _batch_latency(jax, mpc, ge, b)
 
-    # closed-loop lap sweep (BASELINE robustness/full-lap configs):
-    # every scenario extracts its map window, solves, and integrates the
-    # car on-device per step, RTI iteration budget. Non-fatal: a transient
-    # device error here must not lose the primary metric.
+    sections: dict = {}
+    # robustness batch (BASELINE config 3): 4096 scenarios in one step
     try:
-        closed_loop = _closed_loop_solves_per_s(backend)
+        sections.update(_robustness_batch(jax, mpc, ge, 4096 if on_tpu else 64))
     except Exception as exc:  # pragma: no cover - infra flakiness
-        closed_loop = {"closed_loop_error": type(exc).__name__}
+        sections["robustness_error"] = type(exc).__name__
+
+    # closed-loop lap sweep on the shipped mapping-pipeline-built circuit
+    try:
+        sections.update(_closed_loop_solves_per_s(backend))
+    except Exception as exc:  # pragma: no cover - infra flakiness
+        sections["closed_loop_error"] = type(exc).__name__
 
     result = {
         "metric": f"mpc_solves_per_s_per_chip_h{HORIZON}",
@@ -108,57 +126,132 @@ def main():
         "backend": backend,
         "batch": batch,
         "n_devices": n_dev,
-        "p50_step_latency_ms": round(1e3 * float(np.percentile(times, 50)), 2),
-        # the reference's control loop runs at game frame rates (~20-60 Hz);
-        # p99 vs that budget is the BASELINE.json latency metric
-        "p99_step_latency_ms": round(1e3 * float(np.percentile(times, 99)), 2),
-        **closed_loop,
+        "p50_step_latency_ms": latency[str(batch)][0],
+        "p99_step_latency_ms": latency[str(batch)][1],
+        "latency_ms_by_batch": {
+            k: {"p50": v[0], "p99": v[1]} for k, v in sorted(
+                latency.items(), key=lambda kv: int(kv[0])
+            )
+        },
+        **sections,
     }
     print(json.dumps(result))
 
 
+def _blocked_latency(run, n: int = 10) -> tuple[float, float]:
+    import jax
+
+    times = []
+    for _ in range(n):
+        t1 = time.perf_counter()
+        out = run()
+        jax.block_until_ready(
+            out.projected_control if hasattr(out, "projected_control") else out
+        )
+        times.append(time.perf_counter() - t1)
+    return (
+        round(1e3 * float(np.percentile(times, 50)), 2),
+        round(1e3 * float(np.percentile(times, 99)), 2),
+    )
+
+
+def _batch_latency(jax, mpc, ge, b: int) -> tuple[float, float]:
+    """Blocked-step latency at batch b. b=1 times the PRODUCTION agent
+    path (SpatialMPC.jitted_get_control — what the free-running control
+    thread calls per frame); b>1 the fused batched engine."""
+    refs = _mixed_refs(ge, b) if b > 1 else ge._reference_window(HORIZON)
+    if b == 1:
+        state = mpc.initial_state()
+        out, _ = mpc.jitted_get_control(state, refs)
+        jax.block_until_ready(out.projected_control)
+        return _blocked_latency(lambda: mpc.jitted_get_control(out, refs)[0])
+    states = jax.vmap(lambda: mpc.initial_state(), axis_size=b)()
+    out = mpc.batched_get_control_fused(states, refs)[0]
+    jax.block_until_ready(out.projected_control)
+    return _blocked_latency(lambda: mpc.batched_get_control_fused(out, refs)[0])
+
+
+def _robustness_batch(jax, mpc, ge, b: int) -> dict:
+    """BASELINE config 3: a 4096-scenario perturbed batch solved per
+    control step, single chip, with HBM headroom."""
+    refs = _mixed_refs(ge, b)
+    states = jax.vmap(lambda: mpc.initial_state(), axis_size=b)()
+    out = mpc.batched_get_control_fused(states, refs)[0]
+    jax.block_until_ready(out.projected_control)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mpc.batched_get_control_fused(out, refs)[0]
+    jax.block_until_ready(out.projected_control)
+    dt = time.perf_counter() - t0
+    sec = {
+        "robustness_batch": b,
+        "robustness_solves_per_s": round(b * iters / dt, 1),
+        "robustness_step_ms": round(1e3 * dt / iters, 1),
+    }
+    stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+    if stats and stats.get("bytes_limit"):
+        sec["hbm_gb_in_use"] = round(stats["bytes_in_use"] / 2**30, 2)
+        sec["hbm_gb_limit"] = round(stats["bytes_limit"] / 2**30, 2)
+    return sec
+
+
 def _closed_loop_solves_per_s(backend: str) -> dict:
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     from acmpc_tpu.bench import LapSweep, SweepGrid
     from acmpc_tpu.dynamics import SpatialBicycleModel, VehicleParams
-    from acmpc_tpu.localise.track_map import TrackMap
+    from acmpc_tpu.localise.track_map import TrackMap, load_track_map
     from acmpc_tpu.mpc.spatial_mpc import MPCConfig, SpatialMPC
     from acmpc_tpu.qp.speed_profile import SpeedProfileConstraints
-    import jax.numpy as jnp
 
     constraints = SpeedProfileConstraints(
         v_min=5.0, v_max=30.0, a_min=-3.0, a_max=6.0,
         ay_max=5.5, ki_min=0.005, end_velocity=10.0,
     )
+    # RTI budget 100: on the shipped 20 km map, 50 leaves ~7% of
+    # cold-start scenarios one re-solve short of convergence; 100 halves
+    # that and still clears 4k closed-loop solves/s (diagnosed in
+    # BENCH notes — failures beyond this are crashed-out scenarios whose
+    # QPs are genuinely infeasible, kept-last-command by design).
     config = MPCConfig(
         horizon=HORIZON,
         step_cost=(4.0e-3, 5.0e-2, 0.0),
         r_term=(1.0e-2, 10.0),
         final_cost=(1.0, 0.0, 0.1),
         constraints=constraints,
-        rti_iterations=50,
+        rti_iterations=100,
     )
     model = SpatialBicycleModel(
         vehicle=VehicleParams(), min_velocity=5.0, max_velocity=30.0
     )
     mpc = SpatialMPC(config, model)
 
-    theta = np.linspace(0, 2 * np.pi, 1500, endpoint=False)
-    r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta)
-    centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
-    d = np.roll(centre, -1, axis=0) - centre
-    t = d / np.linalg.norm(d, axis=1, keepdims=True)
-    n = np.stack([-t[:, 1], t[:, 0]], axis=1)
-    tm = TrackMap(
-        centre=jnp.asarray(centre, jnp.float32),
-        left=jnp.asarray(centre + 5 * n, jnp.float32),
-        right=jnp.asarray(centre - 5 * n, jnp.float32),
-    )
-    sweep = LapSweep(mpc, tm, half_width=5.0, dt=0.1)
+    shipped = ROOT / "data" / "maps" / "synth_nordschleife.npy"
+    if shipped.exists():
+        tm = load_track_map(shipped)
+        half_width = 4.5
+        map_name = f"synth_nordschleife ({shipped.name})"
+    else:  # fallback: analytic wavy circle
+        theta = np.linspace(0, 2 * np.pi, 1500, endpoint=False)
+        r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta)
+        centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+        d = np.roll(centre, -1, axis=0) - centre
+        t = d / np.linalg.norm(d, axis=1, keepdims=True)
+        n = np.stack([-t[:, 1], t[:, 0]], axis=1)
+        tm = TrackMap(
+            centre=jnp.asarray(centre, jnp.float32),
+            left=jnp.asarray(centre + 5 * n, jnp.float32),
+            right=jnp.asarray(centre - 5 * n, jnp.float32),
+        )
+        half_width = 5.0
+        map_name = "analytic_circle"
+    n_pts = int(tm.centre.shape[0])
+
+    sweep = LapSweep(mpc, tm, half_width=half_width, dt=0.1)
     B, N = (256, 25) if backend != "cpu" else (16, 10)
-    grid = SweepGrid.perturbed(jax.random.PRNGKey(0), B, 1500, v_max=24.0)
+    grid = SweepGrid.perturbed(jax.random.PRNGKey(0), B, n_pts, v_max=24.0)
     _, metrics = sweep.run_fused(grid, N)  # compile
     jax.block_until_ready(metrics["v"])
     t0 = time.perf_counter()
@@ -166,10 +259,23 @@ def _closed_loop_solves_per_s(backend: str) -> dict:
     jax.block_until_ready(metrics["v"])
     wall = time.perf_counter() - t0
     s = sweep.summarise(metrics, N)
-    return {
+    out = {
         "closed_loop_solves_per_s": round(B * N / wall, 1),
         "closed_loop_success_rate": round(s["solve_success_rate"], 4),
+        "closed_loop_map": map_name,
+        "closed_loop_mean_speed_ms": round(s["mean_speed_ms"], 2),
     }
+    for k in (
+        "fail_max_iter_frac",
+        "fail_primal_infeasible_frac",
+        "fail_persistent_scenarios",
+        "crashed_scenarios",
+        "in_corridor_fail_rate",
+    ):
+        if k in s:
+            v = s[k]
+            out["closed_loop_" + k] = round(v, 4) if isinstance(v, float) else v
+    return out
 
 
 if __name__ == "__main__":

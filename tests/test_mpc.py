@@ -191,3 +191,64 @@ def test_control_qp_matches_scipy_reference():
     ours = np.asarray(sol.x)[-2 * n :]
     ref_x = res.x[-2 * n :]
     np.testing.assert_allclose(ours, ref_x, rtol=5e-2, atol=5e-2)
+
+
+def test_cum_time_matches_plan_kinematics():
+    """cum_time must be real seconds: stage time step == ds / v_plan.
+
+    Guards the extraction-time exact clock (SpatialMPC._extract). The
+    QP's internal time state uses the reference's 1/(v ds) units
+    (dynamics.py:84-101) — a clock only at 1 m spacing; at 2 m spacing
+    the reference's cum_time runs 4x fast and its temporal command
+    selector (commands.py:20-38) applies commands planned for stages far
+    down the horizon, destabilising the closed loop at speed. The
+    published cum_time is instead computed from the solved plan
+    kinematics and must match exactly regardless of spacing."""
+    mpc = make_mpc()
+    spacing = 2.0
+    n = mpc.horizon
+    track = np.stack([np.zeros(n), np.arange(n) * spacing], axis=0)
+    ref = jnp.asarray(with_widths(track), jnp.float32)
+    state, _ = mpc.jitted_get_control(mpc.initial_state(), ref)
+    assert bool(state.solved)
+    v_plan = np.asarray(state.projected_control)[0]
+    ct = np.asarray(state.cum_time)
+    dt = spacing / v_plan
+    expected = np.concatenate([[0.0], np.cumsum(dt[:-1])])
+    np.testing.assert_allclose(ct, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_closed_loop_offset_converges_at_speed():
+    """A car 2 m off a dead-straight centreline at racing speed must
+    converge to the path under the production command-selection loop —
+    the regression that exposed the reference's time-row bug (under its
+    convention this diverges: the selector picks counter-steer-tail
+    commands and pushes the car off the track)."""
+    import dataclasses
+
+    from acmpc_tpu.bench import LapSweep, SweepGrid
+    from acmpc_tpu.localise.track_map import TrackMap
+
+    n = 2000
+    c = np.stack([np.zeros(n), np.arange(n) * 1.0], axis=1)
+    tm = TrackMap(
+        centre=jnp.asarray(c, jnp.float32),
+        left=jnp.asarray(c + [-4.5, 0], jnp.float32),
+        right=jnp.asarray(c + [4.5, 0], jnp.float32),
+    )
+    config = dataclasses.replace(CONFIG, rti_iterations=80)
+    mpc = make_mpc(config)
+    sweep = LapSweep(mpc, tm, half_width=4.5, dt=0.1)
+    grid = SweepGrid(
+        start_index=jnp.array([100], jnp.int32),
+        lateral_offset=jnp.array([2.0]),
+        v_max=jnp.array([20.0]),
+    )
+    cars = jax.vmap(sweep._init_car)(grid)
+    cars = dataclasses.replace(cars, v=jnp.array([18.0]))
+    states = jax.vmap(lambda _: mpc.initial_state())(jnp.arange(1))
+    for _ in range(20):
+        cars, states, metrics = sweep._fused_step(cars, states, grid.v_max)
+    assert float(np.abs(np.asarray(cars.x)[0])) < 0.5, (
+        f"car did not converge to centreline: x={float(cars.x[0]):.2f}"
+    )

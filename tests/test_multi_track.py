@@ -192,9 +192,12 @@ def test_track_by_scenario_grid_sharded_over_mesh():
     states_sh = jax.device_put(states, NamedSharding(mesh, P("dp")))
     out, _ = sharded(states_sh, refs, v_grid)
     assert int(out.solved.sum()) == S * len(TRACKS)
+    # Per-shard programs fuse differently than the full-batch program, so
+    # the fp32 ADMM iterate trajectories diverge within solver tolerance
+    # (eps_abs/eps_rel = 1e-3) — compare at that scale, not bitwise.
     np.testing.assert_allclose(
         np.asarray(out.projected_control),
         np.asarray(ref_out.projected_control),
-        rtol=1e-5,
-        atol=1e-5,
+        rtol=1e-3,
+        atol=2e-3,
     )
