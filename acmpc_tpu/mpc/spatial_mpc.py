@@ -327,8 +327,9 @@ class SpatialMPC:
     def batched_get_control_fused(self):
         """Explicitly-batched step: prepare/extract vmapped, the control
         QP solved by the fused-Pallas batched engine (qp/batched.py) —
-        the operators stay VMEM-resident per iteration chunk instead of
-        the (B, 1)-serialised grid vmap would produce.
+        explicit straggler freezing plus the VMEM-resident wide-tile
+        kernel (vmap now reaches the same kernel via its custom_vmap
+        merge rule; this path remains for the freeze semantics).
 
         Signature: (states, refs, v_max (B,) | None, is_localised (B,) |
         bool) -> (new_states, diags).

@@ -1,11 +1,14 @@
 """Explicitly-batched box-QP solve.
 
-``jax.vmap(solve_box_qp)`` works, but its pallas batching rule serialises
-the fused iteration kernel into a (B, 1) grid. This entry keeps the batch
-explicit end-to-end: scaling/factorisation/residuals are vmapped XLA (all
-matmul-shaped), while the iteration chunks go to the fused kernel with a
-real scenario tile (ops/pallas_admm.py) — the operators stay VMEM-resident
-across the whole chunk for a tile of scenarios at a time.
+``jax.vmap(solve_box_qp)`` reaches the same fused iteration kernel (its
+custom_vmap rule merges the mapped axis into the kernel's scenario tile —
+ops/pallas_admm.py), so for most callers the vmap form is enough. This
+entry keeps the batch explicit end-to-end for the paths that want
+batch-level control: scaling/factorisation/residuals are vmapped XLA (all
+matmul-shaped), iteration chunks go straight to the fused kernel, and the
+straggler policy is explicit — finished scenarios FREEZE their iterates
+while the rest keep iterating (vmapped while_loops instead run every lane
+to the last straggler and rely on the per-lane `done` select).
 
 Restrictions vs the general solver: fixed rho (no adaptive refactor — the
 MPC configuration already runs fixed), primal-infeasibility certificates
@@ -33,13 +36,6 @@ from acmpc_tpu.qp.admm import (
 )
 
 
-def _pick_b_tile(B: int) -> int:
-    for t in (4, 2):
-        if B % t == 0:
-            return t
-    return 1
-
-
 def solve_box_qp_batched(
     P: jnp.ndarray,  # (B, n, n)
     q: jnp.ndarray,  # (B, n)
@@ -63,7 +59,6 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
     m = l.shape[-1]
     NP = -(-n // 128) * 128
     MP = -(-m // 128) * 128
-    b_tile = _pick_b_tile(B)
     interpret = jax.default_backend() != "tpu"
 
     l = jnp.clip(l, -_INF, _INF)
@@ -113,7 +108,7 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
         xo, zo, yo = admm_iterations_pallas(
             Wp, Ap, c0p, rhop, lsp, usp,
             pad_n(x), pad_m(z), pad_m(y),
-            n_iters=n_iters, alpha=cfg.alpha, b_tile=b_tile,
+            n_iters=n_iters, alpha=cfg.alpha,
             interpret=interpret,
         )
         return xo[:, :n], zo[:, :m], yo[:, :m]

@@ -78,7 +78,11 @@ class Agent:
             pass
         np.random.seed(self.cfg.seed)
         self.perception = Perceiver(self.cfg.perception)
-        self.controller = Controller(self.cfg)
+        # command timing rides the simulator's clock when it has one
+        # (discrete-time synthetic sim: selection stays correct however
+        # fast/slow the host runs); wall clock against a real-time game
+        sim_clock = getattr(self.simulator, "clock", None)
+        self.controller = Controller(self.cfg, clock=sim_clock)
         self._throttle_pid = ThrottlePID(self.cfg.throttle_pid)
         self._brake_pid = BrakePID(self.cfg.brake_pid)
         self._steering_pid = SteeringPID(self.cfg.steering_pid)

@@ -38,8 +38,16 @@ class CommandSet:
 
 
 class Controller:
-    def __init__(self, cfg: AgentConfig, dtype=jnp.float32):
+    def __init__(self, cfg: AgentConfig, dtype=jnp.float32, clock=None):
+        """``clock``: time source used to stamp command sets and to
+        compute the elapsed time for temporal command selection. Defaults
+        to wall clock (``time.monotonic`` — correct against a real-time
+        game); a discrete-time simulator passes its own sim clock so the
+        selection stays correct however fast or slow the host runs the
+        loop (wall-clock selection under a loaded machine applies
+        commands planned for the wrong stages)."""
         self._cfg = cfg
+        self._clock = clock or time.monotonic
         self.mapping_mpc = build_mpc(
             _control_dict(cfg.mapping_control), cfg.vehicle, dtype
         )
@@ -78,7 +86,7 @@ class Controller:
         cmds, version, _ = self._command_box.read()
         if cmds is None:
             return 0.0, 0.0
-        elapsed = time.monotonic() - cmds.timestamp
+        elapsed = self._clock() - cmds.timestamp
         v, delta = self._selector(cmds.cum_time, cmds.controls, elapsed)
         return float(v), float(delta)
 
@@ -88,8 +96,13 @@ class Controller:
         return None if cmds is None else cmds.prediction
 
     def submit_centreline(self, centreline: np.ndarray):
-        """Fresh centreline from perception -> wake the control thread."""
-        self._centreline_box.post(np.asarray(centreline))
+        """Fresh centreline from perception -> wake the control thread.
+        The submission clock reading rides along: the solved plan's
+        cum_time is relative to THIS observation, so command sets are
+        stamped with it (stamping at publish — what the reference does,
+        controller.py:279 — shifts every command late by the solve
+        latency)."""
+        self._centreline_box.post((np.asarray(centreline), self._clock()))
 
     def compute_track_speed_profile(self, track_xyw: np.ndarray) -> ReferencePath:
         """Full-map speed profile with the map-specific constraint
@@ -164,20 +177,21 @@ class _ControlThread(threading.Thread):
 
     def run(self):
         while not self._stop_event.is_set():
-            centreline, version, _ = self._c._centreline_box.read_fresh(
+            item, version, _ = self._c._centreline_box.read_fresh(
                 self._version, timeout=0.5
             )
-            if version == self._version or centreline is None:
+            if version == self._version or item is None:
                 continue
             self._version = version
+            centreline, stamp = item
             try:
-                self._solve(np.asarray(centreline))
+                self._solve(np.asarray(centreline), stamp)
             except Exception:  # pragma: no cover - keep the loop alive
                 import traceback
 
                 traceback.print_exc()
 
-    def _solve(self, centreline: np.ndarray):
+    def _solve(self, centreline: np.ndarray, stamp: float):
         mpc = self._c.mpc
         horizon = mpc.horizon
         # downsample to the horizon with tapered widths
@@ -191,7 +205,6 @@ class _ControlThread(threading.Thread):
         ref = np.stack([pts[:, 0], pts[:, 1], widths]).T
 
         state = self._states[id(mpc)]
-        t0 = time.monotonic()
         new_state, diags = mpc.jitted_get_control(
             state,
             jnp.asarray(ref, mpc.dtype),
@@ -202,7 +215,7 @@ class _ControlThread(threading.Thread):
         if bool(new_state.solved):
             self._c._publish(
                 CommandSet(
-                    timestamp=t0,
+                    timestamp=stamp,
                     controls=np.asarray(new_state.projected_control).T,
                     cum_time=np.asarray(new_state.cum_time),
                     prediction=np.asarray(new_state.prediction),

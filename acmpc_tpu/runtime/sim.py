@@ -42,6 +42,12 @@ class SimulatorInterface(abc.ABC):
     def close(self):
         pass
 
+    # Optional simulation-time source (seconds). A discrete-time sim
+    # overrides this so the runtime's temporal command selection runs on
+    # SIM time instead of wall time; None means "use the wall clock"
+    # (correct against a real-time game).
+    clock = None
+
 
 class SyntheticSimulator(SimulatorInterface):
     """Kinematic bicycle car on a TrackMap, rendering the ground-truth
@@ -95,6 +101,10 @@ class SyntheticSimulator(SimulatorInterface):
 
         self._start_index = start_index
         self.reset()
+
+    def clock(self) -> float:
+        """Sim-time source for the runtime's temporal command selection."""
+        return self.t
 
     # -- state ----------------------------------------------------------
     def reset(self) -> Dict:
