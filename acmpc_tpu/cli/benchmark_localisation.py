@@ -15,24 +15,51 @@ def main():
     parser = argparse.ArgumentParser(
         description="Replay a localisation recording and report accuracy"
     )
-    parser.add_argument("--config", required=True, help="track config yaml")
     parser.add_argument(
-        "--data", required=True, help="directory with control.npy + observations.npy"
+        "--benchmark-config",
+        default=None,
+        help="benchmark yaml (configs/benchmarks/<track>.yaml) bundling "
+        "experiment name, data path, map and localisation settings — the "
+        "counterpart of the reference's per-track benchmark configs",
+    )
+    parser.add_argument("--config", default=None, help="track config yaml")
+    parser.add_argument(
+        "--data",
+        default=None,
+        help="directory with control.npy + observations.npy",
     )
     parser.add_argument("--map", default=None, help="override map path")
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args()
 
     from acmpc_tpu.config import load_config
     from acmpc_tpu.localise.benchmarking import BenchmarkLocalisation
 
-    cfg = load_config(args.config)
+    if args.benchmark_config:
+        from acmpc_tpu.config.schema import LocalisationConfig, load_raw
+
+        raw = load_raw(args.benchmark_config)
+        loc_cfg = LocalisationConfig.from_config(raw["localisation"])
+        data_path = args.data or raw["data_path"]
+        map_path = args.map or raw["map_path"]
+        seed = args.seed if args.seed is not None else raw.get("seed", 0)
+        vehicle = None
+    else:
+        if not (args.config and args.data):
+            parser.error("provide --benchmark-config, or --config and --data")
+        cfg = load_config(args.config)
+        loc_cfg = cfg.localisation
+        data_path = args.data
+        map_path = args.map or cfg.map_path
+        seed = args.seed or 0
+        vehicle = cfg.vehicle
+
     bench = BenchmarkLocalisation(
-        data_path=args.data,
-        map_path=args.map or cfg.map_path,
-        localisation_cfg=cfg.localisation,
-        vehicle=cfg.vehicle,
-        seed=args.seed,
+        data_path=data_path,
+        map_path=map_path,
+        localisation_cfg=loc_cfg,
+        vehicle=vehicle,
+        seed=seed,
     )
     summary = bench.run()
     print(json.dumps(summary, indent=2))

@@ -41,3 +41,24 @@ def test_vallelunga_no_end_velocity():
     cfg = load_config(CONFIG_DIR / "vallelunga.yaml")
     assert cfg.racing_control.constraints.end_velocity is None
     assert cfg.mapping_control.horizon == 50
+
+
+def test_benchmark_configs_parse():
+    """Per-track localisation benchmark configs (counterpart of reference
+    localisation/benchmarking/configs/*.yaml) parse into a valid
+    LocalisationConfig and name a data path + map."""
+    from acmpc_tpu.config.schema import LocalisationConfig, load_raw
+
+    bench_dir = CONFIG_DIR / "benchmarks"
+    tracks = sorted(p.stem for p in bench_dir.glob("*.yaml"))
+    assert tracks == [
+        "monza", "nordschleife", "silverstone", "spa", "vallelunga",
+    ]
+    for t in tracks:
+        raw = load_raw(bench_dir / f"{t}.yaml")
+        assert raw["experiment_name"].startswith(t)
+        assert raw["data_path"]
+        assert raw["map_path"]
+        loc = LocalisationConfig.from_config(raw["localisation"])
+        assert loc.n_particles == 500
+        assert loc.threshold_track_limit == 25.0
