@@ -125,6 +125,68 @@ def render_world_map(
     return img
 
 
+def render_local_localisation(
+    map_polylines: Optional[Dict],
+    particles: Optional[np.ndarray],
+    estimate: Optional[np.ndarray],
+    car_pose: Optional[np.ndarray],
+    window_m: float = 80.0,
+    size: int = 400,
+) -> np.ndarray:
+    """Local localisation panel (reference LocalisationFeed,
+    feeds.py:117-137): the particle cloud + estimate over the map,
+    zoomed to a window around the best estimate (or the car)."""
+    import cv2
+
+    img = np.zeros((size, size, 3), np.uint8)
+    anchor = None
+    if estimate is not None:
+        anchor = np.asarray(estimate[:2], float)
+    elif car_pose is not None:
+        anchor = np.asarray(car_pose[:2], float)
+    elif particles is not None and len(particles):
+        anchor = np.asarray(particles[:, :2], float).mean(axis=0)
+    if anchor is None or map_polylines is None:
+        return img
+
+    scale = size / (2.0 * window_m)
+
+    def to_px(points):
+        p = (np.asarray(points)[:, :2] - anchor) * scale
+        px = (size // 2 + p[:, 0]).astype(np.int32)
+        py = (size // 2 - p[:, 1]).astype(np.int32)
+        return np.stack([px, py], axis=1)
+
+    def in_view(pts):
+        return pts[
+            (pts[:, 0] >= 0)
+            & (pts[:, 0] < size)
+            & (pts[:, 1] >= 0)
+            & (pts[:, 1] < size)
+        ]
+
+    for key, colour in [
+        ("left", (130, 130, 130)),
+        ("right", (130, 130, 130)),
+        ("centre", (60, 160, 60)),
+    ]:
+        if key in map_polylines:
+            for x, y in in_view(to_px(map_polylines[key])):
+                img[y, x] = colour
+    if particles is not None and len(particles):
+        for x, y in in_view(to_px(particles)):
+            cv2.circle(img, (int(x), int(y)), 1, (0, 200, 200), -1)
+    if estimate is not None:
+        cv2.drawMarker(
+            img, (size // 2, size // 2), (0, 0, 255), cv2.MARKER_CROSS, 14, 2
+        )
+    if car_pose is not None:
+        x, y = to_px(np.asarray(car_pose)[None, :2])[0]
+        if 0 <= x < size and 0 <= y < size:
+            cv2.circle(img, (int(x), int(y)), 4, (255, 255, 255), -1)
+    return img
+
+
 def compose_dashboard(panels: Dict[str, np.ndarray], width: int = 1280) -> np.ndarray:
     """Tile named panels into one frame with labels."""
     import cv2

@@ -110,6 +110,8 @@ class Agent:
         self._is_mapping_setup = False
         self._last_map_update = time.monotonic()
         self._latest_tracks: Optional[Dict] = None
+        self._latest_frames: Dict = {}
+        self._latest_state: Dict = {}
         self.executor = ThreadPoolExecutor(max_workers=4)
         self._update_lock = threading.Lock()
         self.thread_exception = None
@@ -154,6 +156,10 @@ class Agent:
 
     def select_action(self, observation: Dict) -> np.ndarray:
         obs = ObservationDict(observation)
+        # latest raw game state, polled by the dashboard's session pane
+        # (the reference's SessionInformationProvider polls the agent the
+        # same way, session_information.py:34-46)
+        self._latest_state = observation.get("state", {})
         if self.thread_exception is not None:
             exc, self.thread_exception = self.thread_exception, None
             raise exc
@@ -201,6 +207,22 @@ class Agent:
             "left": np.asarray(out["left"]),
             "right": np.asarray(out["right"]),
             "centre": np.asarray(out["centreline"]),
+        }
+        # retain the latest raw views for the dashboard feed grid
+        # (reference CameraFeed/SegmentationFeed/SemanticFeed pull these
+        # from shared memory, backend/feeds.py:23-242)
+        self._latest_frames = {
+            "camera": obs.get("CameraFrontRGB"),
+            "segmentation": np.asarray(
+                raw["drivable_mask"]
+                if self._use_oracle_perception and "drivable_mask" in raw
+                else out["drivable"]
+            ),
+            "semantics": (
+                None
+                if self._use_oracle_perception
+                else np.asarray(out["semantics"])
+            ),
         }
         self.controller.submit_centreline(self._latest_tracks["centre"])
         self._maybe_add_observations_to_map(obs)

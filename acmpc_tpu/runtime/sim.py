@@ -119,6 +119,9 @@ class SyntheticSimulator(SimulatorInterface):
         self.laps = 0
         self._last_progress = self._normalised_position()
         self.t = 0.0
+        self._lap_start_t = 0.0
+        self._last_lap_ms = 0.0
+        self._best_lap_ms = 0.0
         return self._observation()
 
     def _normalised_position(self) -> float:
@@ -146,6 +149,10 @@ class SyntheticSimulator(SimulatorInterface):
         progress = self._normalised_position()
         if progress < 0.2 and self._last_progress > 0.8:
             self.laps += 1
+            self._last_lap_ms = (self.t - self._lap_start_t) * 1000
+            if self._best_lap_ms <= 0 or self._last_lap_ms < self._best_lap_ms:
+                self._best_lap_ms = self._last_lap_ms
+            self._lap_start_t = self.t
         self._last_progress = progress
         return self._observation()
 
@@ -185,10 +192,12 @@ class SyntheticSimulator(SimulatorInterface):
             "normalised_car_position": self._normalised_position(),
             "completed_laps": self.laps,
             "fuel": self._fuel,
-            "i_current_time": int(self.t * 1000),
-            "i_best_time": 0,
-            "i_last_time": 0,
-            "current_sector_index": 0,
+            # lap/sector timing, game-convention keys: i_current_time is
+            # the CURRENT LAP time in ms, sectors are thirds of the lap
+            "i_current_time": int((self.t - self._lap_start_t) * 1000),
+            "i_best_time": int(self._best_lap_ms),
+            "i_last_time": int(self._last_lap_ms),
+            "current_sector_index": int(self._normalised_position() * 3) % 3,
             "last_sector_time": 0,
         }
         return {
