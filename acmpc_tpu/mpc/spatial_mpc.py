@@ -159,13 +159,26 @@ class SpatialMPC:
         path: ReferencePath,
         ay_max: float,
         a_min: float,
+        mesh=None,
+        axis_name: str | None = None,
     ) -> ReferencePath:
         """Full-track speed profile with map-specific lateral/brake limits
         (reference spatial_mpc.py:60-87): one large banded QP over every
-        map waypoint, startup-only."""
+        map waypoint, startup-only.
+
+        With ``mesh`` the horizon itself is sharded over the mesh axis —
+        each device owns a contiguous slab of the map and the (min,+)
+        block reductions combine over ICI (qp/speed_profile.py::
+        solve_speed_profile_sharded; BASELINE's within-solve horizon
+        parallelism). Bit-identical to the single-device solve.
+        """
         constraints = dataclasses.replace(
             self.config.constraints, ay_max=ay_max, a_min=a_min
         )
+        if mesh is not None:
+            return self._map_speed_profile_sharded(
+                path, constraints, mesh, axis_name
+            )
         sol = solve_speed_profile(
             path.distances,
             path.kappas,
@@ -180,6 +193,50 @@ class SpatialMPC:
         velocities = jnp.where(
             sol.status == 1, sol.velocities, path.velocities
         )
+        return path.replace(velocities=velocities)
+
+    def _map_speed_profile_sharded(
+        self, path: ReferencePath, constraints, mesh, axis_name
+    ) -> ReferencePath:
+        from jax.sharding import PartitionSpec as P
+
+        from acmpc_tpu.qp.speed_profile import solve_speed_profile_sharded
+
+        axis = axis_name or mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        n = path.n_points
+        pad = (-n) % n_dev
+        # neutral padding after the map's end: kappa 0 gives the maximum
+        # cap, so the backward pass cannot tighten real waypoints through
+        # it; padded outputs are dropped
+        ds = jnp.concatenate(
+            [path.distances, jnp.ones((pad,), self.dtype)], axis=-1
+        )
+        ks = jnp.concatenate(
+            [path.kappas, jnp.zeros((pad,), self.dtype)], axis=-1
+        )
+
+        spec = P(axis)
+        fn = jax.jit(
+            jax.shard_map(
+                lambda d, k: solve_speed_profile_sharded(
+                    d,
+                    k,
+                    constraints,
+                    axis,
+                    v_max_runtime=constraints.v_max,
+                    localised=False,
+                    use_end_velocity=False,
+                ),
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=spec,
+                check_vma=False,
+            )
+        )
+        v = fn(ds, ks)[:n]
+        feasible = jnp.all(v >= constraints.v_min - 1e-4)
+        velocities = jnp.where(feasible, v, path.velocities)
         return path.replace(velocities=velocities)
 
     # ------------------------------------------------------------------
