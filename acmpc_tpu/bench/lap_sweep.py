@@ -26,7 +26,7 @@ from flax import struct
 
 from acmpc_tpu.geometry.path import wrap_to_pi
 from acmpc_tpu.localise.track_map import TrackMap
-from acmpc_tpu.mpc.spatial_mpc import SpatialMPC
+from acmpc_tpu.mpc.spatial_mpc import SpatialMPC, shift_warm_start
 
 
 @struct.dataclass
@@ -169,16 +169,26 @@ class LapSweep:
         }
         return car, metrics
 
+    def _shift_stages(self, i0, prev_i0):
+        """Reference stages the window advanced since the last solve."""
+        m = self._centre.shape[0]
+        delta = jnp.mod(i0 - prev_i0, m)
+        k = jnp.round(delta / self.window_stride).astype(jnp.int32)
+        return jnp.clip(k, 0, self.mpc.horizon - 1)
+
     def _step_one(self, carry, grid_v_max):
-        car, mpc_state = carry
+        car, mpc_state, prev_i0 = carry
         ref, i0 = self._ego_window(car)
+        mpc_state = shift_warm_start(
+            mpc_state, self._shift_stages(i0, prev_i0), self.mpc.horizon
+        )
         mpc_state, diags = self.mpc.get_control(
             mpc_state, ref, v_max_runtime=grid_v_max, is_localised=False
         )
         car, metrics = self._integrate(car, mpc_state, i0)
         metrics["control_iterations"] = diags.control_iterations
         metrics["control_status"] = diags.control_status
-        return (car, mpc_state), metrics
+        return (car, mpc_state, i0), metrics
 
     # -- public API ------------------------------------------------------
     @property
@@ -186,8 +196,13 @@ class LapSweep:
         if not hasattr(self, "_fused_step_fn"):
 
             @jax.jit
-            def step(cars, mpc_states, v_max):
+            def step(cars, mpc_states, v_max, prev_i0):
                 refs, i0 = jax.vmap(self._ego_window)(cars)
+                # real-time-iteration warm start: advance the carried
+                # iterates by however many stages each window slid
+                mpc_states = jax.vmap(
+                    lambda s, k: shift_warm_start(s, k, self.mpc.horizon)
+                )(mpc_states, jax.vmap(self._shift_stages)(i0, prev_i0))
                 mpc_states, diags = self.mpc.batched_get_control_fused(
                     mpc_states, refs, v_max=v_max
                 )
@@ -196,7 +211,7 @@ class LapSweep:
                 )
                 metrics["control_iterations"] = diags.control_iterations
                 metrics["control_status"] = diags.control_status
-                return cars, mpc_states, metrics
+                return cars, mpc_states, metrics, i0
 
             self._fused_step_fn = step
         return self._fused_step_fn
@@ -214,10 +229,11 @@ class LapSweep:
         mpc_states = jax.vmap(lambda _: self.mpc.initial_state())(
             jnp.arange(B)
         )
+        _, prev_i0 = jax.vmap(self._ego_window)(cars)  # no shift on step 1
         per_step = []
         for _ in range(n_steps):
-            cars, mpc_states, metrics = self._fused_step(
-                cars, mpc_states, grid.v_max
+            cars, mpc_states, metrics, prev_i0 = self._fused_step(
+                cars, mpc_states, grid.v_max, prev_i0
             )
             per_step.append(metrics)
         metrics = jax.tree.map(lambda *a: jnp.stack(a, axis=1), *per_step)
@@ -230,12 +246,13 @@ class LapSweep:
         def scenario(grid_row):
             car = self._init_car(grid_row)
             mpc_state = self.mpc.initial_state()
+            _, i0 = self._ego_window(car)
 
             def body(carry, _):
                 return self._step_one(carry, grid_row.v_max)
 
-            (car, mpc_state), metrics = jax.lax.scan(
-                body, (car, mpc_state), None, length=n_steps
+            (car, mpc_state, _), metrics = jax.lax.scan(
+                body, (car, mpc_state, i0), None, length=n_steps
             )
             return car, metrics
 

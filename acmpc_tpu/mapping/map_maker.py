@@ -42,12 +42,25 @@ def savgol_coefficients(window: int, polyorder: int) -> np.ndarray:
     return G[0]
 
 
-def savgol_wrap(values: np.ndarray, window: int = SMOOTH_WINDOW, polyorder: int = SMOOTH_POLYORDER) -> np.ndarray:
+def savgol_wrap(
+    values: np.ndarray,
+    window: int = SMOOTH_WINDOW,
+    polyorder: int = SMOOTH_POLYORDER,
+    closed: bool = True,
+) -> np.ndarray:
     """Savitzky-Golay smoothing with circular (wrap) boundary handling —
-    matches scipy's mode="wrap" used at reference map_maker.py:193-200."""
+    matches scipy's mode="wrap" used at reference map_maker.py:193-200.
+    ``closed=False`` reflects at the ends instead: wrap padding on an
+    OPEN arc (a trimmed mapping lap) blends the two far-apart ends into
+    each other."""
     coef = savgol_coefficients(window, polyorder)
     half = window // 2
-    padded = np.concatenate([values[-half:], values, values[:half]])
+    if closed:
+        padded = np.concatenate([values[-half:], values, values[:half]])
+    else:
+        head = 2 * values[0] - values[half:0:-1]
+        tail = 2 * values[-1] - values[-2 : -half - 2 : -1]
+        padded = np.concatenate([head, values, tail])
     return np.convolve(padded, coef[::-1], mode="valid")
 
 
@@ -64,6 +77,74 @@ def upsample_track(track: np.ndarray, desired_density: float = UPSAMPLE_DENSITY)
         track[1:, None, :] - track[:-1, None, :]
     )
     return seg.reshape(-1, 2)
+
+
+def _is_closed(track: np.ndarray, factor: float = 5.0) -> bool:
+    """A track is a closed loop when the end-to-start gap is comparable
+    to the typical segment — after the stationary trim a mapping lap can
+    be an OPEN arc (reference map_maker.py:170), and treating it as
+    closed would synthesise the closing chord as track geometry."""
+    seg = np.linalg.norm(np.diff(track, axis=0), axis=1)
+    gap = np.linalg.norm(track[-1] - track[0])
+    return bool(gap < factor * max(float(np.median(seg)), 1e-9))
+
+
+def resample_uniform(
+    track: np.ndarray, spacing: float = UPSAMPLE_DENSITY
+) -> np.ndarray:
+    """Arc-length UNIFORM resampling of a closed track polyline.
+
+    The reference's per-segment upsampling (map_maker.py:202-225, our
+    ``upsample_track``) preserves whatever raggedness the ordered point
+    cloud has — observation clusters leave 0.03 m segments next to 5 m
+    ones, and discrete curvature (wrapped angle / ds) spikes by 1/ds at
+    the clusters: a self-built 20 km map measured kappa up to 49 rad/m
+    (a 2 cm radius) purely from spacing noise, which turns downstream
+    window QPs physically absurd (they stall or overflow fp32). Uniform
+    arc-length resampling makes the spacing — and therefore the
+    curvature estimate — well-conditioned by construction.
+    """
+    closed = _is_closed(track)
+    pts = np.vstack([track, track[:1]]) if closed else track
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(s[-1])
+    n_out = max(int(round(total / spacing)), 8)
+    si = np.linspace(0.0, total, n_out, endpoint=not closed)
+    x = np.interp(si, s, pts[:, 0])
+    y = np.interp(si, s, pts[:, 1])
+    return np.stack([x, y], axis=1)
+
+
+def remove_folds(track: np.ndarray, max_turn_rad: float = np.pi / 16) -> np.ndarray:
+    """Drop points where the polyline turns sharper than ``max_turn_rad``.
+
+    Tour ordering of noisy observation clouds occasionally leaves a FOLD
+    — the path doubles back within centimetres — which survives
+    smoothing (savgol contracts it into a near-duplicate kink, measured
+    kappa ~80 rad/m on a self-built map). A real track at 0.5 m spacing
+    turns < 0.03 rad per point (even a 25 m-radius hairpin turns 0.02),
+    so anything above ~11 degrees is observation-ordering noise, not
+    geometry.
+    """
+    for _ in range(10):  # a fold spans several points; peel until clean
+        closed = _is_closed(track)
+        pts = np.vstack([track, track[:1]]) if closed else track
+        d = np.diff(pts, axis=0)
+        psi = np.arctan2(d[:, 1], d[:, 0])
+        if closed:
+            turn = psi - np.roll(psi, 1)
+            turn = np.abs(np.mod(turn + np.pi, 2.0 * np.pi) - np.pi)
+        else:
+            # open arc: endpoints have no incoming/outgoing pair
+            inner = psi[1:] - psi[:-1]
+            inner = np.abs(np.mod(inner + np.pi, 2.0 * np.pi) - np.pi)
+            turn = np.concatenate([[0.0], inner, [0.0]])[: len(track)]
+        keep = turn < max_turn_rad
+        if keep.all():
+            break
+        track = track[keep]
+    return track
 
 
 def remove_near_duplicates(
@@ -133,9 +214,32 @@ class MapMaker:
 
     @staticmethod
     def _smooth_track(track: np.ndarray) -> np.ndarray:
+        closed = _is_closed(track)
         return np.stack(
-            [savgol_wrap(track[:, 0]), savgol_wrap(track[:, 1])], axis=1
+            [
+                savgol_wrap(track[:, 0], closed=closed),
+                savgol_wrap(track[:, 1], closed=closed),
+            ],
+            axis=1,
         )
+
+    @classmethod
+    def _regularise(cls, track: np.ndarray, n_passes: int = 3) -> np.ndarray:
+        """Uniform-spacing, fold-free final geometry: alternate fold
+        removal, smoothing and arc-length resampling until clean (see
+        remove_folds / resample_uniform)."""
+        track = resample_uniform(track)
+        for _ in range(n_passes):
+            track = resample_uniform(cls._smooth_track(remove_folds(track)))
+        # finish at a fold-free fixed point: resampling across a removed
+        # fold can recombine two sub-threshold turns into one above it,
+        # so alternate until remove_folds is a no-op on the resampled
+        # polyline (smoothing is NOT last — it can re-contract a kink)
+        for _ in range(5):
+            track = resample_uniform(remove_folds(track))
+            if len(remove_folds(track)) == len(track):
+                break
+        return track
 
     @staticmethod
     def _calculate_centre_track(outsides: np.ndarray, insides: np.ndarray) -> np.ndarray:
@@ -186,9 +290,12 @@ class MapMaker:
             insides = self._maybe_flip(insides, self.inside_track)
             centres = self._maybe_flip(centres, self.inside_track)
 
-        outsides = upsample_track(outsides)
-        insides = upsample_track(insides)
-        centres = upsample_track(centres)
+        # uniform arc-length resampling (NOT the reference's per-segment
+        # upsampling — see resample_uniform) with fold removal and
+        # re-smoothing until the geometry is clean
+        outsides = self._regularise(outsides)
+        insides = self._regularise(insides)
+        centres = self._regularise(centres)
 
         centres, insides, outsides = remove_near_duplicates(
             centres, insides, outsides

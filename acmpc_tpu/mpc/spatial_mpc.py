@@ -98,6 +98,45 @@ class MPCDiagnostics:
     r_dual: jnp.ndarray
 
 
+def shift_warm_start(state: MPCState, k, horizon: int) -> MPCState:
+    """Advance the carried QP warm start by ``k`` reference stages.
+
+    Between control steps the reference window slides along the track
+    with the car, so stage j of the NEW problem corresponds to stage
+    j + k of the previous solution. Re-using the raw iterates misaligns
+    every variable by k stages and ADMM burns its budget undoing that;
+    rolling them (repeating the terminal stage into the vacated tail) is
+    the standard real-time-iteration initialisation. ``k`` may be traced
+    (computed per scenario from map indices). Applies to the QP primal/
+    dual iterates and the speed-profile warm start; the published
+    command/prediction outputs are left untouched.
+    """
+    nx, nu = 3, 2
+    n = horizon - 1
+
+    def roll_stages(flat, width, n_stages):
+        rows = flat.reshape(n_stages, width)
+        rolled = jnp.roll(rows, -k, axis=0)
+        # vacated tail keeps the terminal stage's values
+        idx = jnp.arange(n_stages)
+        keep = idx < (n_stages - k)
+        return jnp.where(keep[:, None], rolled, rows[-1][None, :]).reshape(-1)
+
+    x_states = roll_stages(state.qp_x[: nx * (n + 1)], nx, n + 1)
+    x_inputs = roll_stages(state.qp_x[nx * (n + 1) :], nu, n)
+    y_eq = roll_stages(state.qp_y[: nx * (n + 1)], nx, n + 1)
+    y_box_states = roll_stages(
+        state.qp_y[nx * (n + 1) : 2 * nx * (n + 1)], nx, n + 1
+    )
+    y_box_inputs = roll_stages(state.qp_y[2 * nx * (n + 1) :], nu, n)
+    vels = roll_stages(state.velocities, 1, n)
+    return state.replace(
+        qp_x=jnp.concatenate([x_states, x_inputs]),
+        qp_y=jnp.concatenate([y_eq, y_box_states, y_box_inputs]),
+        velocities=vels,
+    )
+
+
 class SpatialMPC:
     """Functional MPC. Construct once per (config, model); call
     :meth:`get_control` inside jit/vmap/shard_map."""

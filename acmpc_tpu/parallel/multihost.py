@@ -77,12 +77,13 @@ def sharded_lap_sweep(sweep, mesh: Mesh, n_steps: int):
         def scenario(grid_row):
             car = sweep._init_car(grid_row)
             mpc_state = sweep.mpc.initial_state()
+            _, i0 = sweep._ego_window(car)
 
             def body(carry, _):
                 return sweep._step_one(carry, grid_row.v_max)
 
-            (car, mpc_state), metrics = jax.lax.scan(
-                body, (car, mpc_state), None, length=n_steps
+            (car, mpc_state, _), metrics = jax.lax.scan(
+                body, (car, mpc_state, i0), None, length=n_steps
             )
             return metrics
 

@@ -263,9 +263,22 @@ def _solve_box_qp_impl(P, q, A, l, u, cfg, x0, y0):
         eps_dual = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
             jnp.maximum(_inf_norm(Px_u), _inf_norm(Aty_u)), _inf_norm(q_u)
         )
-        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
-        near = (r_prim <= cfg.inaccurate_factor * eps_prim) & (
-            r_dual <= cfg.inaccurate_factor * eps_dual
+        # Divergence guard: eps_prim/eps_dual are RELATIVE to the iterate
+        # magnitudes (OSQP semantics), so an fp32 blow-up (|Ax| ~ 1e20 on
+        # a pathological problem) can "satisfy" its own inflated
+        # tolerance, or go NaN (every comparison False -> loops forever).
+        # After Ruiz equilibration a sane iterate is O(1); treat anything
+        # astronomically larger, or non-finite, as NOT converged.
+        sane = (
+            jnp.isfinite(r_prim)
+            & jnp.isfinite(r_dual)
+            & (_inf_norm(x) < 1e12)
+        )
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual) & sane
+        near = (
+            (r_prim <= cfg.inaccurate_factor * eps_prim)
+            & (r_dual <= cfg.inaccurate_factor * eps_dual)
+            & sane
         )
         # adaptive rho ratio (normalised residuals)
         prim_n = r_prim / jnp.maximum(

@@ -134,9 +134,18 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
             jnp.maximum(batched_norm(Px_u), batched_norm(Aty_u)),
             batched_norm(q_u),
         )
-        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
-        near = (r_prim <= cfg.inaccurate_factor * eps_prim) & (
-            r_dual <= cfg.inaccurate_factor * eps_dual
+        # divergence guard (see qp/admm.py residuals): a blown-up fp32
+        # iterate inflates its own relative tolerance or goes NaN
+        sane = (
+            jnp.isfinite(r_prim)
+            & jnp.isfinite(r_dual)
+            & (batched_norm(x) < 1e12)
+        )
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual) & sane
+        near = (
+            (r_prim <= cfg.inaccurate_factor * eps_prim)
+            & (r_dual <= cfg.inaccurate_factor * eps_dual)
+            & sane
         )
         return r_prim, r_dual, converged, near
 

@@ -210,18 +210,19 @@ def _closed_loop_solves_per_s(backend: str) -> dict:
         v_min=5.0, v_max=30.0, a_min=-3.0, a_max=6.0,
         ay_max=5.5, ki_min=0.005, end_velocity=10.0,
     )
-    # RTI budget 100: on the shipped 20 km map, 50 leaves ~7% of
-    # cold-start scenarios one re-solve short of convergence; 100 halves
-    # that and still clears 4k closed-loop solves/s (diagnosed in
-    # BENCH notes — failures beyond this are crashed-out scenarios whose
-    # QPs are genuinely infeasible, kept-last-command by design).
+    # RTI budget 50 suffices for 100% closed-loop success on the shipped
+    # 22 km map. (Round-1's 4% failures were diagnosed to pathological
+    # map geometry — a self-crossing synthetic circuit plus ordering
+    # folds gave kappa spikes of 50 rad/m whose QPs are physically
+    # absurd; fixed by the simple-by-construction circuit generator and
+    # the map maker's fold-removal + uniform arc-length resampling.)
     config = MPCConfig(
         horizon=HORIZON,
         step_cost=(4.0e-3, 5.0e-2, 0.0),
         r_term=(1.0e-2, 10.0),
         final_cost=(1.0, 0.0, 0.1),
         constraints=constraints,
-        rti_iterations=100,
+        rti_iterations=50,
     )
     model = SpatialBicycleModel(
         vehicle=VehicleParams(), min_velocity=5.0, max_velocity=30.0

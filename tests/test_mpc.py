@@ -247,8 +247,11 @@ def test_closed_loop_offset_converges_at_speed():
     cars = jax.vmap(sweep._init_car)(grid)
     cars = dataclasses.replace(cars, v=jnp.array([18.0]))
     states = jax.vmap(lambda _: mpc.initial_state())(jnp.arange(1))
+    _, i0 = jax.vmap(sweep._ego_window)(cars)
     for _ in range(20):
-        cars, states, metrics = sweep._fused_step(cars, states, grid.v_max)
+        cars, states, metrics, i0 = sweep._fused_step(
+            cars, states, grid.v_max, i0
+        )
     assert float(np.abs(np.asarray(cars.x)[0])) < 0.5, (
         f"car did not converge to centreline: x={float(cars.x[0]):.2f}"
     )

@@ -2,13 +2,14 @@
 
 BASELINE config 5 needs a nordschleife-scale map; the reference ships its
 maps as downloadable assets (scripts/download_assets.sh) built by driving
-mapping laps. Zero egress here, so this tool synthesises a ~20 km circuit
-from a band-limited random curvature profile (hairpins down to ~25 m
-radius through fast sweepers), then builds the shipped map the same way
-the agent's mapping mode does: per-frame BEV boundary observations in the
-game pose convention -> MapMaker.process_segmentation_tracks ->
-save_map (TSP ordering, savgol smoothing, 0.5 m upsampling, dedup —
-reference map_maker.py:132-225).
+mapping laps. Zero egress here, so this tool synthesises a ~22 km simple
+closed circuit (star-shaped polar harmonics, corners down to ~46 m radius
+through fast sweepers — see generate_centreline for why it must be simple
+by construction), then builds the shipped map the same way the agent's
+mapping mode does: per-frame BEV boundary observations in the game pose
+convention -> MapMaker.process_segmentation_tracks -> save_map (TSP
+ordering, savgol smoothing, fold removal + uniform 0.5 m arc-length
+resampling — reference map_maker.py:132-225).
 
 Run:  python tools/build_synth_track.py [--length 20000] [--out data/maps/synth_nordschleife.npy]
 """
@@ -29,44 +30,57 @@ def generate_centreline(
     length_m: float = 20000.0,
     step_m: float = 2.0,
     seed: int = 7,
-    kappa_max: float = 1.0 / 25.0,
+    target_min_radius: float = 55.0,
 ):
-    """Closed circuit from a smooth random curvature profile.
+    """Closed circuit that is a SIMPLE curve by construction.
 
-    kappa(s): band-limited noise (knots every ~150 m, cubic-smooth via
-    cosine interpolation), scaled so the tightest corners hit ~kappa_max,
-    shifted so the heading closes (integral = 2 pi), position closure by
-    linear drift removal.
+    A band-limited random curvature profile is NOT self-avoiding — at
+    20 km every seed self-intersects, and a self-crossing circuit breaks
+    the mapping tour (it legitimately shortcuts across the pinch). Use a
+    star-shaped polar curve instead: r(theta) = R0 + sum of random
+    harmonics (k = 2..80, 1/k^1.3 amplitude decay), which cannot
+    self-intersect for r > 0 and single-valued theta. The harmonic scale
+    is grown geometrically until the tightest corner reaches
+    ``target_min_radius`` — ~50 m hairpin-adjacent corners through
+    ~500 m sweepers at nordschleife length. Output is resampled to
+    uniform ``step_m`` arc spacing.
     """
     rng = np.random.default_rng(seed)
-    n = int(length_m / step_m)
-    s = np.arange(n) * step_m
+    ks = np.arange(2, 81)
+    amps = rng.normal(size=len(ks)) / ks**1.3
+    phis = rng.uniform(0, 2 * np.pi, len(ks))
+    r0 = length_m / (2 * np.pi)
+    theta = np.linspace(0, 2 * np.pi, 20000, endpoint=False)
+    wave = np.sum(
+        amps[:, None] * np.cos(ks[:, None] * theta[None] + phis[:, None]),
+        axis=0,
+    )
+    centre = None
+    for scale in np.geomspace(1.0, 2000.0, 40):
+        r = r0 + scale * wave
+        if r.min() < 0.2 * r0:
+            break
+        c = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+        d = np.diff(np.vstack([c, c[:1]]), axis=0)
+        seg = np.linalg.norm(d, axis=1)
+        psi = np.unwrap(np.arctan2(d[:, 1], d[:, 0]))
+        kappa = np.abs(np.diff(psi)) / seg[1:]
+        centre = c
+        if 1.0 / max(kappa.max(), 1e-9) < target_min_radius:
+            break
+    assert centre is not None, "polar circuit generation failed"
 
-    knot_spacing = 150.0
-    n_knots = int(length_m / knot_spacing)
-    knots = rng.normal(size=n_knots)
-    # periodic cosine-smooth interpolation of the knot sequence
-    pos = s / knot_spacing
-    i0 = np.floor(pos).astype(int) % n_knots
-    i1 = (i0 + 1) % n_knots
-    t = pos - np.floor(pos)
-    w = 0.5 - 0.5 * np.cos(np.pi * t)
-    kappa = knots[i0] * (1 - w) + knots[i1] * w
-    # occasional tight corners: emphasise the tails, keep the straights
-    kappa = np.sign(kappa) * np.abs(kappa) ** 2.2
-    kappa = kappa / np.abs(kappa).max() * kappa_max
-    # heading closure: total turn must be exactly 2 pi
-    kappa = kappa + (2.0 * np.pi - np.sum(kappa) * step_m) / length_m
-
-    psi = np.cumsum(kappa) * step_m
-    x = np.cumsum(np.cos(psi)) * step_m
-    y = np.cumsum(np.sin(psi)) * step_m
-    # position closure: remove the linear drift of the endpoint gap
-    gap = np.array([x[-1] - x[0], y[-1] - y[0]])
-    frac = np.arange(n) / n
-    x = x - gap[0] * frac
-    y = y - gap[1] * frac
-    centre = np.stack([x, y], axis=1)
+    # uniform arc-length resampling at step_m
+    closed = np.vstack([centre, centre[:1]])
+    seg = np.linalg.norm(np.diff(closed, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    si = np.linspace(0.0, s[-1], int(s[-1] / step_m), endpoint=False)
+    centre = np.stack(
+        [np.interp(si, s, closed[:, 0]), np.interp(si, s, closed[:, 1])],
+        axis=1,
+    )
+    d = np.diff(np.vstack([centre, centre[:1]]), axis=0)
+    psi = np.arctan2(d[:, 1], d[:, 0])
     return centre, psi
 
 
@@ -123,6 +137,15 @@ def main():
     args = ap.parse_args()
 
     centre, _ = generate_centreline(args.length, seed=args.seed)
+    # simplicity check: no non-adjacent self-approach under 30 m (the
+    # mapping tour shortcuts across pinches tighter than that)
+    from scipy.spatial import cKDTree
+
+    pairs = cKDTree(centre).query_pairs(r=30.0, output_type="ndarray")
+    if len(pairs):
+        along = np.abs(pairs[:, 0] - pairs[:, 1])
+        along = np.minimum(along, len(centre) - along)
+        assert (along <= 30).all(), "circuit has a self-approach under 30 m"
     left, right = boundaries(centre)
     seg = np.linalg.norm(np.diff(centre, axis=0), axis=1)
     d = np.diff(centre, axis=0)
