@@ -59,7 +59,15 @@ class TrackSegmenter:
             key = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 64, 64, 3), self._dtype)
             template = self.model.init(key, dummy)
-            return serialization.from_bytes(template, p.read_bytes())
+            loaded = serialization.from_bytes(template, p.read_bytes())
+            # shipped checkpoints store fp16 (half the asset size); cast
+            # floating leaves to the configured compute dtype
+            return jax.tree.map(
+                lambda a: a.astype(self._dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                loaded,
+            )
         if p.suffix in (".pt", ".pth"):
             import torch
 

@@ -173,9 +173,37 @@ class SyntheticSimulator(SimulatorInterface):
         mask[self._pix_usable] = (d < self.half_width).astype(np.uint8)
         return mask
 
+    def render_camera_image(self, mask: np.ndarray) -> np.ndarray:
+        """Synthetic camera frame: textured asphalt / grass / sky so a
+        segmentation model trained on it must learn more than a constant
+        threshold (tools/train_segmenter.py ships such a checkpoint)."""
+        h, w = mask.shape
+        rng = np.random.default_rng(int(self.t * 1000) % (2**31))
+        img = np.empty((h, w, 3), np.float32)
+        # grass-ish background with low-frequency mottling
+        rows = np.linspace(0.0, 1.0, h)[:, None]
+        mottle = rng.normal(0.0, 12.0, (h // 8 + 1, w // 8 + 1))
+        mottle = np.kron(mottle, np.ones((8, 8)))[:h, :w]
+        img[..., 0] = 70 + mottle
+        img[..., 1] = 130 + 25 * rows + mottle
+        img[..., 2] = 60 + mottle
+        # asphalt where drivable: grey with speckle + centre shading
+        on = mask.astype(bool)
+        speckle = rng.normal(0.0, 8.0, (h, w))
+        grey = 105 + 20 * rows + speckle
+        for c in range(3):
+            img[..., c][on] = grey[on]
+        # sky above the unusable horizon rows
+        sky = ~self._pix_usable
+        img[..., 0][sky] = 140
+        img[..., 1][sky] = 170
+        img[..., 2][sky] = 220
+        img += rng.normal(0.0, 3.0, (h, w, 3))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
     def _observation(self) -> Dict:
         mask = self.render_drivable_mask()
-        image = np.repeat((mask * 200)[..., None], 3, axis=2)
+        image = self.render_camera_image(mask)
         heading = float(np.pi / 2 - self.yaw)
         state = {
             "steering_angle": self.steering,

@@ -1,0 +1,163 @@
+"""Build the full per-track asset set the configs point at.
+
+Counterpart of the reference's asset pipeline
+(/root/reference/scripts/download_assets.sh — 7 maps, racelines and car
+setups fetched from a host): zero egress here, so every asset is BUILT by
+the framework's own tools instead of downloaded:
+
+  data/maps/<track>.npz          track map, driven through the REAL
+                                 mapping pipeline (MapMaker) on a
+                                 track-length synthetic circuit
+  data/racelines/<track>.npz     minimum-curvature raceline (the ADMM
+                                 raceline QP, utils/raceline.py) + the
+                                 map-scale speed profile along it
+                                 (qp/speed_profile.py) — BASELINE
+                                 config 1's "shipped raceline + speed
+                                 profile"
+
+Run:  python tools/build_assets.py [--tracks monza spa ...] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+
+# real-world lap lengths (km) and a seed per track so each circuit is a
+# distinct, reproducible synthetic stand-in at the right scale
+TRACKS = {
+    "monza": (5.79, 11),
+    "spa": (7.00, 12),
+    "silverstone": (5.89, 13),
+    "nordschleife": (20.8, 7),
+    "vallelunga": (4.09, 14),
+    "bathurst": (6.21, 15),
+    "yas_marina": (5.28, 16),
+}
+
+
+def build_map(track: str, length_km: float, seed: int, out: pathlib.Path):
+    import tempfile
+
+    from build_synth_track import boundaries, drive_mapping_pipeline, generate_centreline
+
+    from acmpc_tpu.localise.track_map import save_track_map
+
+    centre, _ = generate_centreline(length_km * 1000.0, seed=seed)
+    left, right = boundaries(centre)
+    # the mapping pipeline writes the reference .npy layout + raw points;
+    # only the native .npz is shipped per track (synth_nordschleife keeps
+    # the reference layout as the compat fixture)
+    with tempfile.TemporaryDirectory() as tmp:
+        built = drive_mapping_pipeline(
+            centre, left, right, str(pathlib.Path(tmp) / f"{track}.npy")
+        )
+    save_track_map(
+        out,
+        built["centre_track"],
+        built["inside_track"],
+        built["outside_track"],
+    )
+    return built
+
+
+def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
+    import jax.numpy as jnp
+
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.geometry.path import construct_waypoints
+    from acmpc_tpu.localise.track_map import load_track_map
+    from acmpc_tpu.qp.speed_profile import solve_speed_profile
+    from acmpc_tpu.utils.raceline import calculate_raceline
+
+    cfg = load_config(ROOT / "configs" / f"{track}.yaml")
+    tm = load_track_map(map_path)
+    centre = np.asarray(tm.centre)
+    stride = max(1, len(centre) // 600)  # the raceline QP is dense
+    centre_ds = centre[::stride]
+    left_ds = np.asarray(tm.left)[:: max(1, len(np.asarray(tm.left)) // 600)]
+    right_ds = np.asarray(tm.right)[
+        :: max(1, len(np.asarray(tm.right)) // 600)
+    ]
+    half_width = float(
+        np.median(
+            np.min(
+                np.linalg.norm(
+                    centre_ds[:, None, :] - left_ds[None, :, :], axis=-1
+                ),
+                axis=1,
+            )
+        )
+    )
+    line = np.asarray(
+        calculate_raceline(
+            jnp.asarray(centre_ds, jnp.float32),
+            half_width=half_width,
+            margin=1.0,
+            n_iterations=3,
+        )
+    )
+
+    # map-scale speed profile ALONG THE RACELINE with the map overrides
+    coords = np.concatenate(
+        [line, np.full((len(line), 1), 2 * half_width)], axis=1
+    )
+    path = construct_waypoints(jnp.asarray(coords, jnp.float32))
+    constraints = cfg.racing_control.constraints
+    sol = solve_speed_profile(
+        path.distances,
+        path.kappas,
+        constraints,
+        v_max_runtime=constraints.v_max,
+        localised=False,
+        use_end_velocity=False,
+    )
+    speeds = np.asarray(sol.velocities)
+    np.savez(
+        out,
+        raceline=line.astype(np.float32),
+        speeds=speeds.astype(np.float32),
+        half_width=np.float32(half_width),
+    )
+    return line, speeds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tracks", nargs="*", default=list(TRACKS))
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="shrink every circuit to 2 km (CI smoke)",
+    )
+    args = ap.parse_args()
+
+    maps_dir = ROOT / "data" / "maps"
+    lines_dir = ROOT / "data" / "racelines"
+    maps_dir.mkdir(parents=True, exist_ok=True)
+    lines_dir.mkdir(parents=True, exist_ok=True)
+
+    for track in args.tracks:
+        length_km, seed = TRACKS[track]
+        if args.quick:
+            length_km = 2.0
+        map_path = maps_dir / f"{track}.npz"
+        built = build_map(track, length_km, seed, map_path)
+        line, speeds = build_raceline(
+            track, map_path, lines_dir / f"{track}.npz"
+        )
+        print(
+            f"{track}: map {len(built['centre_track'])} pts "
+            f"({length_km:.1f} km), raceline {len(line)} pts, "
+            f"speeds [{speeds.min():.1f}, {speeds.max():.1f}] m/s"
+        )
+
+
+if __name__ == "__main__":
+    main()
