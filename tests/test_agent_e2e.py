@@ -94,3 +94,46 @@ def test_mailbox_latest_wins():
     t0 = time.monotonic()
     value, version, _ = box.read_fresh(version, timeout=0.05)
     assert time.monotonic() - t0 < 1.0
+
+
+def test_agent_drives_with_real_perception(small_cfg, tmp_path):
+    """The agent drives the synthetic track with the SHIPPED trained
+    segmentation model in the loop — camera frame -> FPN -> track-limit
+    extraction -> MPC -> actuation, no oracle anywhere. The reference
+    can only do this inside the game."""
+    cfg, tm = small_cfg
+    # the training camera (tools/train_segmenter.py): the shipped model
+    # is texture-based so it generalises across poses, but matching the
+    # geometry keeps the extraction's polyfit region consistent
+    cfg = dataclasses.replace(
+        cfg,
+        perception=dataclasses.replace(
+            cfg.perception,
+            camera_position=[0.0, 0.0, 1.2],
+            camera_pitch_deg=9.0,
+        ),
+    )
+    camera = CameraInfo.from_config(cfg.perception)
+    sim = SyntheticSimulator(
+        tm, camera, dt=0.05, start_index=200, half_width=5.0
+    )
+    agent = Agent(cfg, sim, use_oracle_perception=False)
+    try:
+        obs = sim.reset()
+        agent.behaviour(obs)
+        assert agent.controller.wait_for_first_command(timeout=240)
+        d0 = sim.distance
+        offtrack = 0.0
+        centre = np.asarray(tm.centre)
+        for _ in range(120):
+            obs = sim.step(agent.behaviour(obs))
+            offtrack = max(
+                offtrack,
+                float(np.linalg.norm(centre - sim.pose[:2], axis=1).min()),
+            )
+        assert sim.distance - d0 > 20.0, "car made no progress"
+        assert offtrack < 5.0, f"car left the track: {offtrack:.2f} m"
+        # perception genuinely ran: the latest frames carry model output
+        assert agent._latest_frames.get("semantics") is not None
+    finally:
+        agent.teardown()
