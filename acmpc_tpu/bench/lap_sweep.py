@@ -79,15 +79,30 @@ class LapSweep:
         half_width: float = 5.0,
         dt: float = 0.1,
         window_spacing: float = 2.0,
+        reference_polyline: np.ndarray | None = None,
+        reference_widths: np.ndarray | None = None,
     ):
+        """``reference_polyline`` switches the TRACKED line away from the
+        map centreline — e.g. the shipped minimum-curvature raceline
+        (tools/build_assets.py); ``reference_widths`` gives the drivable
+        corridor width at each of its points (the raceline hugs the
+        boundaries, so the symmetric e_y corridor shrinks there). The
+        off-track metric always measures against the map centreline."""
         self.mpc = mpc
         self.map = track_map
         self.half_width = half_width
         self.dt = dt
         centre = np.asarray(track_map.centre)
-        spacing = float(np.linalg.norm(np.diff(centre, axis=0), axis=1).mean())
+        ref = centre if reference_polyline is None else np.asarray(reference_polyline)
+        spacing = float(np.linalg.norm(np.diff(ref, axis=0), axis=1).mean())
         self.window_stride = max(1, int(round(window_spacing / spacing)))
-        self._centre = jnp.asarray(centre, mpc.dtype)
+        self._map_centre = jnp.asarray(centre, mpc.dtype)
+        self._centre = jnp.asarray(ref, mpc.dtype)
+        if reference_widths is None:
+            widths = np.full(len(ref), 2.0 * half_width, np.float32)
+        else:
+            widths = np.asarray(reference_widths, np.float32)
+        self._widths = jnp.asarray(widths, mpc.dtype)
 
     # -- per-scenario pieces --------------------------------------------
     def _init_car(self, grid: SweepGrid, i: int | None = None) -> CarState:
@@ -128,7 +143,7 @@ class LapSweep:
             -2,
         )
         bev = (world - pos) @ rot.T
-        widths = jnp.full((horizon,), 2.0 * self.half_width, self.mpc.dtype)
+        widths = self._widths[idx]
         return jnp.concatenate([bev, widths[:, None]], axis=1), i0
 
     def _select_command(self, mpc_state, elapsed):
@@ -160,7 +175,7 @@ class LapSweep:
             v=v,
         )
         pos = jnp.stack([car.x, car.y], axis=-1)
-        off = jnp.sqrt(jnp.min(jnp.sum((self._centre - pos) ** 2, axis=-1)))
+        off = jnp.sqrt(jnp.min(jnp.sum((self._map_centre - pos) ** 2, axis=-1)))
         metrics = {
             "v": v,
             "offtrack": off,

@@ -110,11 +110,29 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["robustness_error"] = type(exc).__name__
 
+    # perception: the reference's headline inference config (FPN-ResNet18,
+    # 10 classes, 1280x736, reduced precision — BASELINE.md) on the
+    # SHIPPED trained checkpoint, fused with track extraction
+    try:
+        sections.update(_perception_fps(jax))
+    except Exception as exc:  # pragma: no cover - infra flakiness
+        sections["perception_error"] = type(exc).__name__
+
     # closed-loop lap sweep on the shipped mapping-pipeline-built circuit
     try:
         sections.update(_closed_loop_solves_per_s(backend))
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["closed_loop_error"] = type(exc).__name__
+
+    # closed loop TRACKING THE SHIPPED RACELINE (BASELINE config 1): same
+    # map, the minimum-curvature line + its corridor widths as the
+    # reference path — the speed uplift over centreline tracking is the
+    # raceline's value, measured in closed loop (the reference's raceline
+    # tool is offline-only and never drives)
+    try:
+        sections.update(_raceline_closed_loop(backend))
+    except Exception as exc:  # pragma: no cover - infra flakiness
+        sections["raceline_error"] = type(exc).__name__
 
     result = {
         "metric": f"mpc_solves_per_s_per_chip_h{HORIZON}",
@@ -196,13 +214,49 @@ def _robustness_batch(jax, mpc, ge, b: int) -> dict:
     return sec
 
 
-def _closed_loop_solves_per_s(backend: str) -> dict:
-    import jax
+def _perception_fps(jax) -> dict:
+    """Device-resident segmentation+extraction throughput at the configs'
+    camera resolution (1280x736 bf16), shipped weights. Each frame
+    depends on the previous mask so XLA cannot overlap the chain; the
+    number is per-frame device latency, directly comparable to the
+    reference's TensorRT engine (segmentation.py:38-53)."""
     import jax.numpy as jnp
 
-    from acmpc_tpu.bench import LapSweep, SweepGrid
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.perception.perceiver import Perceiver
+
+    cfg = load_config(ROOT / "configs" / "monza.yaml").perception
+    perc = Perceiver(cfg)
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(
+        rng.integers(
+            0, 255, (cfg.image_height, cfg.image_width, 3), dtype=np.uint8
+        )
+    )
+
+    @jax.jit
+    def step(img):
+        drivable, _, tracks = perc._pipeline(perc.segmenter.variables, img)
+        return (img + drivable[..., None]).astype(jnp.uint8), tracks["centre"]
+
+    img, c = step(img0)
+    jax.block_until_ready(c)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img, c = step(img)
+    jax.block_until_ready(c)
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "perception_ms_per_frame": round(1e3 * dt, 2),
+        "perception_fps": round(1.0 / dt, 1),
+        "perception_resolution": f"{cfg.image_width}x{cfg.image_height}",
+    }
+
+
+def _closed_loop_mpc():
+    """The shared closed-loop MPC (racing horizon, RTI budget)."""
     from acmpc_tpu.dynamics import SpatialBicycleModel, VehicleParams
-    from acmpc_tpu.localise.track_map import TrackMap, load_track_map
     from acmpc_tpu.mpc.spatial_mpc import MPCConfig, SpatialMPC
     from acmpc_tpu.qp.speed_profile import SpeedProfileConstraints
 
@@ -227,41 +281,61 @@ def _closed_loop_solves_per_s(backend: str) -> dict:
     model = SpatialBicycleModel(
         vehicle=VehicleParams(), min_velocity=5.0, max_velocity=30.0
     )
-    mpc = SpatialMPC(config, model)
+    return SpatialMPC(config, model)
+
+
+def _bench_map():
+    import jax.numpy as jnp
+
+    from acmpc_tpu.localise.track_map import TrackMap, load_track_map
 
     shipped = ROOT / "data" / "maps" / "synth_nordschleife.npy"
     if shipped.exists():
-        tm = load_track_map(shipped)
-        half_width = 4.5
-        map_name = f"synth_nordschleife ({shipped.name})"
-    else:  # fallback: analytic wavy circle
-        theta = np.linspace(0, 2 * np.pi, 1500, endpoint=False)
-        r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta)
-        centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
-        d = np.roll(centre, -1, axis=0) - centre
-        t = d / np.linalg.norm(d, axis=1, keepdims=True)
-        n = np.stack([-t[:, 1], t[:, 0]], axis=1)
-        tm = TrackMap(
-            centre=jnp.asarray(centre, jnp.float32),
-            left=jnp.asarray(centre + 5 * n, jnp.float32),
-            right=jnp.asarray(centre - 5 * n, jnp.float32),
+        return (
+            load_track_map(shipped),
+            4.5,
+            f"synth_nordschleife ({shipped.name})",
         )
-        half_width = 5.0
-        map_name = "analytic_circle"
-    n_pts = int(tm.centre.shape[0])
+    # fallback: analytic wavy circle
+    theta = np.linspace(0, 2 * np.pi, 1500, endpoint=False)
+    r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta)
+    centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+    d = np.roll(centre, -1, axis=0) - centre
+    t = d / np.linalg.norm(d, axis=1, keepdims=True)
+    n = np.stack([-t[:, 1], t[:, 0]], axis=1)
+    tm = TrackMap(
+        centre=jnp.asarray(centre, jnp.float32),
+        left=jnp.asarray(centre + 5 * n, jnp.float32),
+        right=jnp.asarray(centre - 5 * n, jnp.float32),
+    )
+    return tm, 5.0, "analytic_circle"
 
-    sweep = LapSweep(mpc, tm, half_width=half_width, dt=0.1)
+
+def _run_sweep(backend: str, sweep, n_pts: int, v_max: float = 24.0):
+    import jax
+
+    from acmpc_tpu.bench import SweepGrid
+
     B, N = (256, 25) if backend != "cpu" else (16, 10)
-    grid = SweepGrid.perturbed(jax.random.PRNGKey(0), B, n_pts, v_max=24.0)
+    grid = SweepGrid.perturbed(jax.random.PRNGKey(0), B, n_pts, v_max=v_max)
     _, metrics = sweep.run_fused(grid, N)  # compile
     jax.block_until_ready(metrics["v"])
     t0 = time.perf_counter()
     _, metrics = sweep.run_fused(grid, N)
     jax.block_until_ready(metrics["v"])
     wall = time.perf_counter() - t0
-    s = sweep.summarise(metrics, N)
+    return sweep.summarise(metrics, N), B * N / wall
+
+
+def _closed_loop_solves_per_s(backend: str) -> dict:
+    from acmpc_tpu.bench import LapSweep
+
+    mpc = _closed_loop_mpc()
+    tm, half_width, map_name = _bench_map()
+    sweep = LapSweep(mpc, tm, half_width=half_width, dt=0.1)
+    s, solves_per_s = _run_sweep(backend, sweep, int(tm.centre.shape[0]))
     out = {
-        "closed_loop_solves_per_s": round(B * N / wall, 1),
+        "closed_loop_solves_per_s": round(solves_per_s, 1),
         "closed_loop_success_rate": round(s["solve_success_rate"], 4),
         "closed_loop_map": map_name,
         "closed_loop_mean_speed_ms": round(s["mean_speed_ms"], 2),
@@ -277,6 +351,79 @@ def _closed_loop_solves_per_s(backend: str) -> dict:
             v = s[k]
             out["closed_loop_" + k] = round(v, 4) if isinstance(v, float) else v
     return out
+
+
+def _raceline_closed_loop(backend: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from acmpc_tpu.bench import LapSweep, SweepGrid
+
+    line_path = ROOT / "data" / "racelines" / "synth_nordschleife.npz"
+    if not line_path.exists():
+        return {}
+    data = np.load(line_path)
+    mpc = _closed_loop_mpc()
+    tm, half_width, _ = _bench_map()
+    sweep = LapSweep(
+        mpc,
+        tm,
+        half_width=half_width,
+        dt=0.1,
+        reference_polyline=data["raceline"],
+        reference_widths=data["widths"],
+    )
+    # corner-limited comparison: uncapped runtime speed (v_max 30) so the
+    # lap speed is set by curvature, where the raceline earns its keep
+    B, N = (256, 25) if backend != "cpu" else (16, 10)
+    grid = SweepGrid.perturbed(
+        jax.random.PRNGKey(0), B, len(data["raceline"]), v_max=30.0
+    )
+    grid = grid.replace(v_max=jnp.minimum(grid.v_max, 30.0))
+    # the raceline hugs the boundaries: clip each start's lateral offset
+    # into ITS corridor (the default +-3 m is instantly illegal where the
+    # corridor floor leaves 0.75 m of play)
+    margin = mpc.model.margin
+    play = (
+        jnp.asarray(data["widths"])[grid.start_index] / 2.0 - margin
+    ) * 0.8
+    grid = grid.replace(
+        lateral_offset=jnp.clip(grid.lateral_offset, -play, play)
+    )
+    _, metrics = sweep.run_fused(grid, N)  # compile + run
+    jax.block_until_ready(metrics["v"])
+    s = sweep.summarise(metrics, N)
+
+    # the same grid positions tracking the CENTRELINE instead
+    centre_sweep = LapSweep(mpc, tm, half_width=half_width, dt=0.1)
+    n_centre = int(tm.centre.shape[0])
+    scale = n_centre / len(data["raceline"])
+    cgrid = grid.replace(
+        start_index=(grid.start_index.astype(jnp.float32) * scale).astype(
+            jnp.int32
+        ),
+        lateral_offset=jnp.zeros_like(grid.lateral_offset),
+    )
+    _, cmetrics = centre_sweep.run_fused(cgrid, N)
+    jax.block_until_ready(cmetrics["v"])
+    cs = centre_sweep.summarise(cmetrics, N)
+
+    # Finding worth recording: the uplift is ~1.0 on this map because the
+    # MPC already corner-cuts ONLINE — e_y is free inside the corridor
+    # bounds and the time cost pushes the plan to the inside of every
+    # corner, so a precomputed raceline mostly re-states what the solver
+    # does per window. The section demonstrates BASELINE config 1
+    # (tracking the shipped raceline + speed profile) and pins that
+    # behaviour with numbers.
+    return {
+        "raceline_success_rate": round(s["solve_success_rate"], 4),
+        "raceline_mean_speed_ms": round(s["mean_speed_ms"], 2),
+        "raceline_p95_offtrack_m": round(s["p95_offtrack_m"], 2),
+        "centreline_mean_speed_ms_at_vmax30": round(cs["mean_speed_ms"], 2),
+        "raceline_speed_uplift": round(
+            s["mean_speed_ms"] / max(cs["mean_speed_ms"], 1e-9), 4
+        ),
+    }
 
 
 if __name__ == "__main__":

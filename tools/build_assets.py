@@ -77,25 +77,30 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
     from acmpc_tpu.qp.speed_profile import solve_speed_profile
     from acmpc_tpu.utils.raceline import calculate_raceline
 
+    from acmpc_tpu.mapping.map_maker import resample_uniform
+
     cfg = load_config(ROOT / "configs" / f"{track}.yaml")
     tm = load_track_map(map_path)
     centre = np.asarray(tm.centre)
-    stride = max(1, len(centre) // 600)  # the raceline QP is dense
+    left = np.asarray(tm.left)
+    right = np.asarray(tm.right)
+    # the raceline QP is dense, but the sample spacing bounds how far the
+    # resampled line chord-cuts past the optimised offsets (error ~
+    # ds^2 kappa / 8, which must stay inside the 1 m optimisation
+    # margin) — ~11 m spacing keeps it under 0.3 m on 50 m corners
+    stride = max(1, len(centre) // 1800)
     centre_ds = centre[::stride]
-    left_ds = np.asarray(tm.left)[:: max(1, len(np.asarray(tm.left)) // 600)]
-    right_ds = np.asarray(tm.right)[
-        :: max(1, len(np.asarray(tm.right)) // 600)
-    ]
-    half_width = float(
-        np.median(
-            np.min(
-                np.linalg.norm(
-                    centre_ds[:, None, :] - left_ds[None, :, :], axis=-1
-                ),
-                axis=1,
+
+    def min_dist(pts, poly, chunk=2048):
+        outd = np.empty(len(pts))
+        for i in range(0, len(pts), chunk):
+            d = np.linalg.norm(
+                pts[i : i + chunk, None, :] - poly[None, ::4, :], axis=-1
             )
-        )
-    )
+            outd[i : i + chunk] = d.min(axis=1)
+        return outd
+
+    half_width = float(np.median(min_dist(centre_ds, left)))
     line = np.asarray(
         calculate_raceline(
             jnp.asarray(centre_ds, jnp.float32),
@@ -104,11 +109,20 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
             n_iterations=3,
         )
     )
+    # dense 2 m arc spacing: the closed-loop tracker extracts horizon
+    # windows from this polyline, and coarse spacing wrecks the
+    # discretised curvature it feeds the QP
+    line = resample_uniform(line.astype(np.float64), spacing=2.0)
+
+    # symmetric drivable corridor around the raceline (it hugs the
+    # boundaries, so the corridor narrows there); floored so the e_y box
+    # keeps some play beyond the vehicle margin
+    margin = 0.97
+    widths = 2.0 * np.minimum(min_dist(line, left), min_dist(line, right))
+    widths = np.maximum(widths, 2.0 * (margin + 0.75))
 
     # map-scale speed profile ALONG THE RACELINE with the map overrides
-    coords = np.concatenate(
-        [line, np.full((len(line), 1), 2 * half_width)], axis=1
-    )
+    coords = np.concatenate([line, widths[:, None]], axis=1)
     path = construct_waypoints(jnp.asarray(coords, jnp.float32))
     constraints = cfg.racing_control.constraints
     sol = solve_speed_profile(
@@ -124,6 +138,7 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
         out,
         raceline=line.astype(np.float32),
         speeds=speeds.astype(np.float32),
+        widths=widths.astype(np.float32),
         half_width=np.float32(half_width),
     )
     return line, speeds
