@@ -45,6 +45,9 @@ class TrackExtractionConfig:
     # isolate the vehicle-connected run chain before edge extraction (the
     # contour/split-strategy counterpart; see select_vehicle_connected_runs)
     connected_runs: bool = True
+    # rows per connectivity-scan step (sequential-latency control; see
+    # select_vehicle_connected_runs band semantics)
+    connectivity_band: int = 4
 
     @classmethod
     def from_config(cls, cfg: PerceptionConfig) -> "TrackExtractionConfig":
@@ -60,6 +63,7 @@ def select_vehicle_connected_runs(
     mask: jnp.ndarray,
     bonnet_row: int,
     gap_tolerance: int = 3,
+    band: int = 1,
 ) -> jnp.ndarray:
     """Keep only the drivable run chain vertically connected to the
     vehicle — the TPU-native counterpart of the reference's contour
@@ -85,47 +89,74 @@ def select_vehicle_connected_runs(
     Returns a filtered 0/1 mask of the same shape. Falls back to the
     input mask when the seed finds nothing (caller keeps the reference's
     naive-fallback semantics).
+
+    ``band > 1`` coarsens the SEQUENTIAL dimension: connectivity runs on
+    the OR of each ``band``-row block, and the block selection is then
+    ANDed back with the full-resolution mask. The scan is the latency
+    hot spot of the whole perception pipeline (736 sequential steps cost
+    ~15 ms of launch latency at camera resolution — more than the FPN
+    forward pass); banding divides the step count while keeping row-edge
+    extraction exact wherever the blob is thicker than a band (a track
+    always is). Semantics shift only at band granularity: gaps shorter
+    than a band are bridged and the gap tolerance rounds to whole bands.
     """
     H, W = mask.shape
     row_bool = mask > 0
-    central = jnp.zeros((W,), bool).at[W // 3 : 2 * W // 3].set(True)
-    rev = row_bool[::-1]  # scan bottom-up
-    row_idx_rev = H - 1 - jnp.arange(H)
-    skip = row_idx_rev >= bonnet_row  # bonnet rows: ignore entirely
+    usable = row_bool & (jnp.arange(H) < bonnet_row)[:, None]
+
+    if band > 1:
+        hb = -(-H // band)
+        padded = jnp.pad(usable, ((0, hb * band - H), (0, 0)))
+        bands = padded.reshape(hb, band, W).any(axis=1)
+        gap_bands = max(1, round(gap_tolerance / band))
+        sel_bands = _chain_scan(bands, gap_bands)
+        sel = jnp.repeat(sel_bands, band, axis=0)[:H] & usable
+    else:
+        sel = _chain_scan(usable, gap_tolerance) & usable
+
+    any_selected = jnp.any(sel)
+    return jnp.where(any_selected, sel, row_bool).astype(mask.dtype)
+
+
+def _chain_scan(rows: jnp.ndarray, gap_tolerance: int) -> jnp.ndarray:
+    """Bottom-up connected-run chain over (N, W) boolean rows: seed at
+    the lowest non-empty row on the central third, keep runs overlapping
+    the previous selection, die after ``gap_tolerance`` consecutive
+    empty rows once started."""
+    n, w = rows.shape
+    central = jnp.zeros((w,), bool).at[w // 3 : 2 * w // 3].set(True)
+    rev = rows[::-1]
 
     def spread(seeds, row, run_id):
         """Expand seed pixels to their full drivable runs."""
         m = jax.ops.segment_max(
-            seeds.astype(jnp.int32), run_id, num_segments=W + 1
+            seeds.astype(jnp.int32), run_id, num_segments=w + 1
         )
         return row & (m[run_id] > 0)
 
-    def step(carry, inp):
+    def step(carry, row):
         prev_sel, started, dead, miss = carry
-        row, skip_row = inp
         run_id = jnp.cumsum(~row)
         seeds = jnp.where(started, row & prev_sel, row & central)
         sel = spread(seeds, row, run_id)
-        sel = jnp.where(skip_row | dead, jnp.zeros_like(sel), sel)
+        sel = jnp.where(dead, jnp.zeros_like(sel), sel)
         has = jnp.any(sel)
-        started_n = started | (has & ~skip_row)
+        started_n = started | has
         miss_n = jnp.where(
-            has | ~started_n | skip_row, jnp.where(has, 0, miss), miss + 1
+            has | ~started_n, jnp.where(has, 0, miss), miss + 1
         )
         dead_n = dead | (miss_n > gap_tolerance)
         prev_n = jnp.where(has, sel, prev_sel)
         return (prev_n, started_n, dead_n, miss_n), sel
 
     init = (
-        jnp.zeros((W,), bool),
+        jnp.zeros((w,), bool),
         jnp.asarray(False),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
-    (_, _, _, _), sel_rev = jax.lax.scan(step, init, (rev, skip))
-    selected = sel_rev[::-1]
-    any_selected = jnp.any(selected)
-    return jnp.where(any_selected, selected, row_bool).astype(mask.dtype)
+    (_, _, _, _), sel_rev = jax.lax.scan(step, init, rev)
+    return sel_rev[::-1]
 
 
 def row_edge_columns(mask: jnp.ndarray):
@@ -226,7 +257,9 @@ class TrackLimitExtractor:
         rows = jnp.arange(mask.shape[0])
         if cfg.connected_runs:
             mask = select_vehicle_connected_runs(
-                mask, cfg.n_rows_to_remove_bonnet
+                mask,
+                cfg.n_rows_to_remove_bonnet,
+                band=cfg.connectivity_band,
             )
         left_cols, right_cols, row_valid = row_edge_columns(mask)
 
