@@ -1,0 +1,125 @@
+"""Multi-host (pod-slice) launch CLI.
+
+The reference has no multi-machine story (SURVEY.md §5.8); this is the
+TPU-native one: run ONE copy of this process per host with the same
+coordinator address, and the closed-loop robustness sweep (BASELINE
+configs 3/5) shards over the full ("host", "chip") pod mesh — intra-host
+work rides ICI, the only DCN traffic is the few-scalar fleet summary.
+
+Single-host (or CI virtual-mesh) runs need no flags:
+
+  acmpc-launch-pod --map data/maps/synth_nordschleife.npy
+
+Pod slice, e.g. 2 hosts:
+
+  host0$ acmpc-launch-pod --coordinator host0:8476 --num-hosts 2 --host-id 0
+  host1$ acmpc-launch-pod --coordinator host0:8476 --num-hosts 2 --host-id 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Pod-sharded closed-loop sweep")
+    ap.add_argument("--coordinator", default=None, help="host:port of host 0")
+    ap.add_argument("--num-hosts", type=int, default=1)
+    ap.add_argument("--host-id", type=int, default=0)
+    ap.add_argument("--map", default="data/maps/synth_nordschleife.npy")
+    ap.add_argument("--scenarios-per-chip", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--v-max", type=float, default=24.0)
+    args = ap.parse_args()
+
+    # honour JAX_PLATFORMS=cpu + xla_force_host_platform_device_count on
+    # images whose sitecustomize preregisters a TPU-tunnel platform (the
+    # config API wins where plain env vars do not)
+    import os
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    want = re.search(r"xla_force_host_platform_device_count=(\d+)", flags)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "") or want:
+        import jax as _jax
+
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+            if want:
+                _jax.config.update("jax_num_cpu_devices", int(want.group(1)))
+        except RuntimeError:
+            pass  # backend already initialised; use whatever exists
+
+    from acmpc_tpu.parallel.multihost import (
+        initialize_distributed,
+        make_pod_mesh,
+        grid_sharding,
+        sharded_lap_sweep,
+    )
+
+    initialize_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_hosts,
+        process_id=args.host_id,
+    )
+
+    import jax
+    import dataclasses
+
+    from acmpc_tpu.bench.lap_sweep import LapSweep, SweepGrid
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.dynamics import SpatialBicycleModel
+    from acmpc_tpu.localise.track_map import load_track_map
+    from acmpc_tpu.mpc.spatial_mpc import SpatialMPC
+
+    cfg = load_config("configs/monza.yaml")
+    control = dataclasses.replace(
+        cfg.racing_control, horizon=args.horizon, rti_iterations=50
+    )
+    model = SpatialBicycleModel(
+        vehicle=cfg.vehicle,
+        min_velocity=control.constraints.v_min,
+        max_velocity=control.constraints.v_max,
+    )
+    mpc = SpatialMPC(control, model)
+    tm = load_track_map(args.map)
+    sweep = LapSweep(mpc, tm, half_width=4.5, dt=0.1)
+
+    mesh = make_pod_mesh()
+    n_chips = mesh.devices.size
+    batch = args.scenarios_per_chip * n_chips
+    grid = SweepGrid.perturbed(
+        jax.random.PRNGKey(0), batch, int(tm.centre.shape[0]), v_max=args.v_max
+    )
+    grid = jax.device_put(grid, grid_sharding(mesh))
+
+    run = sharded_lap_sweep(sweep, mesh, args.steps)
+    metrics, fleet = run(grid)  # compile + first run
+    jax.block_until_ready(fleet["n_solved"])
+    t0 = time.perf_counter()
+    metrics, fleet = run(grid)
+    jax.block_until_ready(fleet["n_solved"])
+    wall = time.perf_counter() - t0
+
+    summary = {
+        "hosts": jax.process_count(),
+        "chips": n_chips,
+        "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)),
+        "scenarios": batch,
+        "steps": args.steps,
+        "solves_per_s": round(batch * args.steps / wall, 1),
+        "success_rate": round(
+            float(fleet["n_solved"]) / float(fleet["n_solves"]), 4
+        ),
+        "worst_offtrack_m": round(float(fleet["worst_offtrack"]), 2),
+        "mean_speed_ms": round(float(fleet["mean_speed"]), 2),
+    }
+    if jax.process_index() == 0:
+        print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

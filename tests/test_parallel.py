@@ -119,3 +119,28 @@ def test_fused_batched_path_matches_vmap():
         np.asarray(ref_out.projected_control),
         rtol=5e-3, atol=5e-3,
     )
+
+
+def test_launch_pod_cli_virtual_mesh():
+    """The pod launch CLI (SURVEY §5.8 multi-host tooling) runs the
+    pod-sharded sweep end-to-end on the virtual mesh and prints a fleet
+    summary."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "-m", "acmpc_tpu.cli.launch_pod",
+         "--scenarios-per-chip", "1", "--steps", "3"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["chips"] == 8
+    assert summary["scenarios"] == 8
+    assert summary["success_rate"] > 0.9
