@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _admm_kernel(
+def _admm_body(
     n_iters: int,
     alpha: float,
     W_ref,
@@ -94,6 +94,33 @@ def _admm_kernel(
     x_out[:] = x[:, None, :]
     z_out[:] = z[:, None, :]
     y_out[:] = y[:, None, :]
+
+
+def _admm_kernel(n_iters, alpha, *refs):
+    _admm_body(n_iters, alpha, *refs)
+
+
+def _admm_kernel_active(n_iters, alpha, active_ref, *refs):
+    """Tile-skipping variant: converged tiles pass their iterates through
+    untouched instead of burning n_iters of GEMVs. In a
+    difficulty-ordered scenario batch, converged lanes are contiguous, so
+    whole tiles go inactive early and the while_loop's straggler chunks
+    cost only their DMA."""
+    from jax.experimental import pallas as pl
+
+    x_ref, z_ref, y_ref = refs[6], refs[7], refs[8]
+    x_out, z_out, y_out = refs[9], refs[10], refs[11]
+    is_active = active_ref[pl.program_id(0)] != 0
+
+    @pl.when(is_active)
+    def _():
+        _admm_body(n_iters, alpha, *refs)
+
+    @pl.when(jnp.logical_not(is_active))
+    def _():
+        x_out[:] = x_ref[:]
+        z_out[:] = z_ref[:]
+        y_out[:] = y_ref[:]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -173,14 +200,26 @@ def admm_iterations_pallas(
     alpha: float = 1.6,
     b_tile: int | None = None,  # kept for API compat; tiles auto-pick
     interpret: bool = False,
+    active: jnp.ndarray | None = None,
 ):
     """Run ``n_iters`` fused ADMM iterations for every scenario. All
     arrays pre-padded to lane multiples; returns updated (x, z, y).
     vmap-safe: mapped axes merge into the scenario axis (see
     ``_build_call``). The scenario tile is picked per actual batch from
     the VMEM budget; ``b_tile`` is accepted for compatibility but only
-    honoured when it still divides the (possibly vmap-merged) batch."""
+    honoured when it still divides the (possibly vmap-merged) batch.
+
+    ``active`` (B,) bool marks still-running scenarios: tiles whose
+    scenarios have all converged skip the iteration loop entirely
+    (explicit-batch callers only — the flag does not thread through the
+    custom_vmap merge)."""
     del b_tile
+    if active is not None:
+        return _raw_pallas_call(
+            W, A, c0, rho, ls, us, x, z, y,
+            n_iters=int(n_iters), alpha=float(alpha),
+            interpret=bool(interpret), active=active,
+        )
     return _build_call(n_iters, float(alpha), bool(interpret))(
         W, A, c0, rho, ls, us, x, z, y
     )
@@ -241,7 +280,7 @@ def _build_chunk_dispatch(n_iters: int, alpha: float, iter_precision: str):
 
 
 def _raw_pallas_call(
-    W, A, c0, rho, ls, us, x, z, y, *, n_iters, alpha, interpret
+    W, A, c0, rho, ls, us, x, z, y, *, n_iters, alpha, interpret, active=None
 ):
     B, NP, K = W.shape
     MP = A.shape[1]
@@ -250,38 +289,32 @@ def _raw_pallas_call(
 
     def tile3(shape):
         return pl.BlockSpec(
-            (b_tile, *shape), lambda i: (i, *([0] * len(shape))),
+            (b_tile, *shape), lambda i, *_: (i, *([0] * len(shape))),
             memory_space=pltpu.VMEM,
         )
 
     def vec(n):  # vectors carried as (B, 1, n)
         return tile3((1, n))
 
-    kernel = functools.partial(_admm_kernel, n_iters, alpha)
     out_shapes = [
         jax.ShapeDtypeStruct((B, 1, NP), W.dtype),
         jax.ShapeDtypeStruct((B, 1, MP), W.dtype),
         jax.ShapeDtypeStruct((B, 1, MP), W.dtype),
     ]
+    in_specs = [
+        tile3((NP, K)),
+        tile3((MP, NP)),
+        vec(NP),
+        vec(MP),
+        vec(MP),
+        vec(MP),
+        vec(NP),
+        vec(MP),
+        vec(MP),
+    ]
+    out_specs = [vec(NP), vec(MP), vec(MP)]
     unvec = lambda a: a[:, None, :]
-    xo, zo, yo = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            tile3((NP, K)),
-            tile3((MP, NP)),
-            vec(NP),
-            vec(MP),
-            vec(MP),
-            vec(MP),
-            vec(NP),
-            vec(MP),
-            vec(MP),
-        ],
-        out_specs=[vec(NP), vec(MP), vec(MP)],
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(
+    operands = (
         W,
         A,
         unvec(c0),
@@ -292,4 +325,30 @@ def _raw_pallas_call(
         unvec(z),
         unvec(y),
     )
+    if active is None:
+        xo, zo, yo = pl.pallas_call(
+            functools.partial(_admm_kernel, n_iters, alpha),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*operands)
+    else:
+        # per-tile activity flag via scalar prefetch: a tile whose
+        # scenarios have ALL converged passes its iterates through
+        tile_active = (
+            active.reshape(grid[0], b_tile).any(axis=1).astype(jnp.int32)
+        )
+        xo, zo, yo = pl.pallas_call(
+            functools.partial(_admm_kernel_active, n_iters, alpha),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(tile_active, *operands)
     return xo[:, 0, :], zo[:, 0, :], yo[:, 0, :]

@@ -171,6 +171,11 @@ def _factor(P, A, rho_vec, sigma):
     fast) per factorisation and make every ADMM iteration pure MXU work.
     The inverse is accurate to ~1e-6 for our ~1e4-conditioned KKT systems;
     optional in-loop refinement (cfg.refine_steps) covers worse cases.
+    (Woodbury on the control QP's diagonal-plus-low-rank structure was
+    tried and is numerically DOOMED in fp32: loose box rows make the
+    diagonal part near-singular, so the capacitance is ~1e8-conditioned
+    and the assembled inverse is garbage. ops/spd_inverse.py offers an
+    all-matmul block-Schur alternative for generic dense SPD batches.)
     """
     n = P.shape[-1]
     K = P + sigma * jnp.eye(n, dtype=P.dtype)

@@ -104,12 +104,12 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
     y = jnp.zeros((B, m), dtype) if y0 is None else c[:, None] * y0 / e
     z = jnp.clip(jnp.einsum("bij,bj->bi", As, x), ls, us)
 
-    def chunk(x, z, y, n_iters):
+    def chunk(x, z, y, n_iters, active=None):
         xo, zo, yo = admm_iterations_pallas(
             Wp, Ap, c0p, rhop, lsp, usp,
             pad_n(x), pad_m(z), pad_m(y),
             n_iters=n_iters, alpha=cfg.alpha,
-            interpret=interpret,
+            interpret=interpret, active=active,
         )
         return xo[:, :n], zo[:, :m], yo[:, :m]
 
@@ -183,7 +183,9 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
 
     def body(state):
         x, z, y, it, done, r_p, r_d, status, its = state
-        xn, zn, yn = chunk(x, z, y, int(cfg.check_every))
+        # tiles whose scenarios have all converged skip the chunk's
+        # iteration loop inside the kernel (scalar-prefetch flag)
+        xn, zn, yn = chunk(x, z, y, int(cfg.check_every), active=~done)
         # frozen scenarios keep their converged/certified iterates
         keep = done[:, None]
         xn = jnp.where(keep, x, xn)

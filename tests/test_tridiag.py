@@ -59,3 +59,20 @@ def test_tridiag_solve_batched():
         np.testing.assert_allclose(
             np.asarray(got[i]), expected, rtol=2e-4, atol=2e-5
         )
+
+
+def test_spd_inverse_blocked():
+    """Recursive block-Schur SPD inverse (ops/spd_inverse.py — the
+    TPU-side replacement for batched Cholesky) matches numpy, batched
+    and at non-power-of-2 sizes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from acmpc_tpu.ops.spd_inverse import spd_inverse
+
+    rng = np.random.default_rng(0)
+    for n, batch in ((2, ()), (7, ()), (37, (3,)), (248, (2,))):
+        M = rng.normal(size=(*batch, n, n)).astype(np.float32)
+        K = M @ np.swapaxes(M, -1, -2) + n * np.eye(n, dtype=np.float32)
+        inv = np.asarray(spd_inverse(jnp.asarray(K)))
+        resid = np.eye(n) - K @ inv
+        assert np.abs(resid).max() < 1e-3, (n, batch, np.abs(resid).max())
