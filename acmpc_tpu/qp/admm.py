@@ -180,6 +180,13 @@ def _factor(P, A, rho_vec, sigma):
     n = P.shape[-1]
     K = P + sigma * jnp.eye(n, dtype=P.dtype)
     K = K + (A.T * rho_vec[None, :]) @ A
+    if jax.default_backend() == "tpu":
+        # all-matmul block-Schur inversion: XLA's batched Cholesky +
+        # triangular solve is panel-sequential and measured 2.1x slower
+        # at (256, 248, 248); off-TPU LAPACK wins
+        from acmpc_tpu.ops.spd_inverse import spd_inverse
+
+        return spd_inverse(K)
     L = jnp.linalg.cholesky(K)
     L_inv = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(n, dtype=P.dtype), lower=True
