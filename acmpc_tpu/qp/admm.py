@@ -93,6 +93,13 @@ class ADMMConfig:
     # everywhere (interpret mode off-TPU — used by the parity tests);
     # "off" forces the XLA chunk.
     use_pallas: str = "auto"  # "auto" | "on" | "off"
+    # converged-tile skipping in the batched convergence loop (scalar-
+    # prefetch activity flags; ops/pallas_admm._admm_kernel_active).
+    # Default off: at the production operating point warm starts converge
+    # in a single chunk, so there is nothing to skip (measured no-op),
+    # and the flag only pays off for cold batches with extreme straggler
+    # spread. Flip on per-call where that is the workload.
+    tile_skip: bool = False
 
 
 @struct.dataclass

@@ -185,7 +185,8 @@ def _impl(P, q, A, l, u, cfg, x0, y0):
         x, z, y, it, done, r_p, r_d, status, its = state
         # tiles whose scenarios have all converged skip the chunk's
         # iteration loop inside the kernel (scalar-prefetch flag)
-        xn, zn, yn = chunk(x, z, y, int(cfg.check_every), active=~done)
+        active = ~done if cfg.tile_skip else None
+        xn, zn, yn = chunk(x, z, y, int(cfg.check_every), active=active)
         # frozen scenarios keep their converged/certified iterates
         keep = done[:, None]
         xn = jnp.where(keep, x, xn)
