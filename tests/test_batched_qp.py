@@ -65,3 +65,49 @@ def test_rti_fixed_budget_path():
     for i, qp in enumerate(qps):
         if int(sols.status[i]) in (1, 3):
             _check_kkt(*qp, jax.tree.map(lambda s: s[i], sols), tol=2e-2)
+
+
+def test_spd_inverse_on_real_mpc_kkt():
+    """The block-Schur inverse (the TPU-side _factor) must match the
+    Cholesky inverse on REAL horizon-50 control-QP KKT matrices — the
+    exact workload it replaces on hardware."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    from acmpc_tpu.ops.spd_inverse import spd_inverse
+    from acmpc_tpu.qp.admm import _factor, _rho_vector, _ruiz_equilibrate
+
+    H, B = 50, 4
+    mpc = ge._make_mpc(H)
+    refs = ge._reference_window(H, B)
+    states = jax.vmap(lambda: mpc.initial_state(), axis_size=B)()
+    v_max = jnp.full((B,), mpc.config.constraints.v_max, mpc.dtype)
+    is_loc = jnp.zeros((B,), bool)
+    offs = jnp.zeros((B,), mpc.dtype)
+    _, _, (P, q, A, l, u) = jax.jit(
+        lambda s: jax.vmap(mpc._prepare)(s, refs, v_max, is_loc, offs)
+    )(states)
+    with jax.default_matmul_precision("highest"):
+        Ps, qs, As, c, d, e = jax.vmap(
+            lambda P_, q_, A_: _ruiz_equilibrate(P_, q_, A_, 5)
+        )(P, q, A)
+        rv = jax.vmap(
+            lambda lo, hi: _rho_vector(jnp.asarray(0.1, jnp.float32), lo, hi)
+        )(e * l, e * u)
+        n = P.shape[-1]
+        K = Ps + 1e-5 * jnp.eye(n) + jnp.einsum(
+            "bmn,bm,bmk->bnk", As, rv, As
+        )
+        M_blocked = spd_inverse(K)
+        M_chol = jax.vmap(
+            lambda P_, A_, r_: _factor(P_, A_, r_, jnp.asarray(1e-5, jnp.float32))
+        )(Ps, As, rv)
+        eye = jnp.eye(n)
+        r_blocked = np.asarray(
+            jnp.max(jnp.abs(eye - K @ M_blocked), axis=(1, 2))
+        )
+        r_chol = np.asarray(jnp.max(jnp.abs(eye - K @ M_chol), axis=(1, 2)))
+    assert r_blocked.max() < 1e-3, r_blocked
+    # no worse than 10x the Cholesky residual on any scenario
+    assert (r_blocked <= 10 * np.maximum(r_chol, 1e-6)).all()
