@@ -185,9 +185,14 @@ class LapSweep:
         return car, metrics
 
     def _shift_stages(self, i0, prev_i0):
-        """Reference stages the window advanced since the last solve."""
+        """Reference stages the window advanced since the last solve.
+        A nearest-index REGRESSION (the argmin slipping back a point when
+        the car sits between equidistant reference points) wraps to
+        delta ~ m-1 under the modulo; treat any backward-looking jump as
+        no shift rather than scrambling the whole warm start."""
         m = self._centre.shape[0]
         delta = jnp.mod(i0 - prev_i0, m)
+        delta = jnp.where(delta > m // 2, 0, delta)
         k = jnp.round(delta / self.window_stride).astype(jnp.int32)
         return jnp.clip(k, 0, self.mpc.horizon - 1)
 

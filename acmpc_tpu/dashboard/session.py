@@ -7,10 +7,10 @@ per-sector and per-lap bests, deltas and F1-style colour classification
 (purple = session best, green = personal improvement, yellow = normal),
 exposed as one JSON snapshot instead of ~40 Qt properties.
 
-Sector accounting mirrors the reference exactly
-(session_information.py:70-89): the current sector's time is the current
-laptime minus the sum of the other sectors; a sector is finalised when the
-sector index changes, a lap when the lap counter increments.
+Sector accounting mirrors the reference's arithmetic
+(session_information.py:84-89): the running sector's time is the current
+laptime minus the sum of the other sectors; a lap (and with it all three
+sectors) is finalised when the lap counter increments.
 """
 
 from __future__ import annotations
@@ -51,7 +51,6 @@ class SessionTracker:
         self.current_sector = 0
         self.last_lap: Optional[Dict] = None
         self._last_lap_count = 0
-        self._previous_sector = 0
 
     # -- update from the live observation stream --------------------------
     def update(self, state: Dict):
@@ -63,7 +62,6 @@ class SessionTracker:
             self._finalise_lap(state)
             self._last_lap_count = laps
             self.current_sectors = [0.0] * N_SECTORS
-            self._previous_sector = 0
 
         self.current_lap_ms = laptime
         self.current_sector = sector
@@ -72,7 +70,6 @@ class SessionTracker:
             t for i, t in enumerate(self.current_sectors) if i != sector
         )
         self.current_sectors[sector] = max(0.0, laptime - done)
-        self._previous_sector = sector
 
     def _finalise_lap(self, state: Dict):
         last_ms = state.get("i_last_time", self.current_lap_ms)

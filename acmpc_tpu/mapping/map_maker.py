@@ -236,8 +236,10 @@ class MapMaker:
         # so alternate until remove_folds is a no-op on the resampled
         # polyline (smoothing is NOT last — it can re-contract a kink)
         for _ in range(5):
-            track = resample_uniform(remove_folds(track))
-            if len(remove_folds(track)) == len(track):
+            cleaned = remove_folds(track)
+            converged = len(cleaned) == len(track)
+            track = resample_uniform(cleaned)
+            if converged:
                 break
         return track
 

@@ -111,7 +111,8 @@ def shift_warm_start(state: MPCState, k, horizon: int) -> MPCState:
     dual iterates and the speed-profile warm start; the published
     command/prediction outputs are left untouched.
     """
-    nx, nu = 3, 2
+    from acmpc_tpu.mpc.control_qp import NU as nu, NX as nx
+
     n = horizon - 1
 
     def roll_stages(flat, width, n_stages):

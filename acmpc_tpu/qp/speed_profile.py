@@ -168,11 +168,17 @@ def solve_speed_profile_sharded(
     axis_name: str,
     v_max_runtime: jnp.ndarray | float | None = None,
     localised: jnp.ndarray | bool = False,
-    use_end_velocity: bool = True,
+    use_end_velocity: bool = False,
 ) -> jnp.ndarray:
     """Exact map-scale speed profile with the horizon sharded over a mesh
     axis (BASELINE's "per-block QP reductions combined via ICI
     collectives", production path).
+
+    ``use_end_velocity`` defaults OFF here (unlike the single-device
+    solve): the pin lands on the last device's last LOCAL element, which
+    is a synthetic waypoint whenever the caller padded the horizon to a
+    device multiple. Only enable it when the global point count divides
+    the mesh axis exactly.
 
     Runs inside ``shard_map``; each device holds a contiguous slab of
     ``M`` waypoints. ``distances[..., j]`` is the arc length of the edge

@@ -210,18 +210,18 @@ class Agent:
         }
         # retain the latest raw views for the dashboard feed grid
         # (reference CameraFeed/SegmentationFeed/SemanticFeed pull these
-        # from shared memory, backend/feeds.py:23-242)
+        # from shared memory, backend/feeds.py:23-242). Device arrays are
+        # stored AS REFERENCES — the dashboard's 10 Hz render thread does
+        # the device->host transfer, so headless runs never pay it.
         self._latest_frames = {
             "camera": obs.get("CameraFrontRGB"),
-            "segmentation": np.asarray(
+            "segmentation": (
                 raw["drivable_mask"]
                 if self._use_oracle_perception and "drivable_mask" in raw
                 else out["drivable"]
             ),
             "semantics": (
-                None
-                if self._use_oracle_perception
-                else np.asarray(out["semantics"])
+                None if self._use_oracle_perception else out["semantics"]
             ),
         }
         self.controller.submit_centreline(self._latest_tracks["centre"])
