@@ -120,8 +120,10 @@ def test_sharded_exact_scan_bitwise():
     mesh = _mesh()
     f = jax.jit(
         jax.shard_map(
+            # 4096 divides the mesh exactly, so the end-velocity pin is
+            # safe to enable (it defaults OFF for padded callers)
             lambda d, k: solve_speed_profile_sharded(
-                d, k, CONS, "x", v_max_runtime=28.0
+                d, k, CONS, "x", v_max_runtime=28.0, use_end_velocity=True
             ),
             mesh=mesh, in_specs=(P("x"), P("x")), out_specs=P("x"),
             check_vma=False,
