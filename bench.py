@@ -71,9 +71,20 @@ def _mixed_refs(ge, batch: int):
 def main():
     import jax
 
+    # resilience: if the TPU backend is unreachable (tunnel outage), fall
+    # back to CPU so the bench still emits its JSON line (with the
+    # backend field showing what actually ran) instead of nothing
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+        backend = jax.default_backend()
+
     import __graft_entry__ as ge
 
-    backend = jax.default_backend()
     n_dev = jax.device_count()
     on_tpu = backend != "cpu"
     batch = 256 if on_tpu else 32
