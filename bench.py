@@ -68,23 +68,45 @@ def _mixed_refs(ge, batch: int):
     return jnp.asarray(np.concatenate([gentle, hard]), jnp.float32)
 
 
-def main():
-    import jax
+def _device_backend_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator backend in a SUBPROCESS with a timeout: a
+    dead TPU tunnel makes in-process backend init hang in C (no exception
+    to catch), which would otherwise take the whole bench down."""
+    import subprocess
+    import sys
 
-    # resilience: if the TPU backend is unreachable (tunnel outage), fall
-    # back to CPU so the bench still emits its JSON line (with the
-    # backend field showing what actually ran) instead of nothing
     try:
-        backend = jax.default_backend()
-    except Exception:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    import os
+
+    # resilience: if the accelerator backend is unreachable (tunnel
+    # outage), fall back to CPU so the bench still emits its JSON line
+    # (the backend field shows what actually ran) instead of hanging
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not (
+        _device_backend_alive()
+    ):
+        import jax
+
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
-        backend = jax.default_backend()
+
+    import jax
 
     import __graft_entry__ as ge
 
+    backend = jax.default_backend()
     n_dev = jax.device_count()
     on_tpu = backend != "cpu"
     batch = 256 if on_tpu else 32
