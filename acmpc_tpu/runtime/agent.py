@@ -103,9 +103,7 @@ class Agent:
         self.acceleration_command = 0.0
         self.previous_steering_command = 0.0
         self.previous_acceleration_command = 0.0
-        self._previous_position = None
-        self._previous_distance = None
-        self._no_progress_frames = 0
+        self._position_ring: list = []
         self._is_racing_setup = False
         self._is_mapping_setup = False
         self._last_map_update = time.monotonic()
@@ -165,6 +163,9 @@ class Agent:
             raise exc
         self.executor.submit(self._maybe_update_perception, obs, observation)
         self._step(obs)
+        # compute THIS frame's commands before recording: the dataset's
+        # (image, action) pairs must not lag by one frame
+        action = self.control_input
         now = time.monotonic()
         self.recorder.maybe_record_data(
             obs,
@@ -173,7 +174,7 @@ class Agent:
             self.acceleration_command,
         )
         self._previous_frame_time = now
-        return self.control_input
+        return action
 
     # -- perception path (worker thread) ---------------------------------
     def _maybe_update_perception(self, obs: ObservationDict, raw: Dict):
@@ -243,13 +244,16 @@ class Agent:
         if not self.cfg.create_map:
             return
         # >=0.1 s between accumulated frames (reference agent.py:255-265).
-        # The reference uses wall clock because it runs in real time; when
-        # the observation carries a session clock (i_current_time, ms) we
-        # gate on SIM time instead so faster-than-real-time simulators
-        # still accumulate a full lap of frames. The session clock resets
-        # per lap — treat time going backwards as an update being due.
-        sim_ms = obs.get("i_current_time")
-        now = (sim_ms / 1000.0) if sim_ms is not None else time.monotonic()
+        # The reference uses wall clock because it runs in real time; a
+        # discrete-time simulator provides its own monotonic clock (the
+        # same source the controller's command timing uses) so
+        # faster-than-real-time runs still accumulate a full lap of
+        # frames. (Gating on the observation's i_current_time is wrong
+        # twice: it is the LAP clock, which resets each lap, and
+        # ObservationDict defaults it to 0 — a simulator without a
+        # running session clock would freeze accumulation entirely.)
+        sim_clock = getattr(self.simulator, "clock", None)
+        now = sim_clock() if sim_clock is not None else time.monotonic()
         if 0.0 <= now - self._last_map_update <= 0.1:
             return
         t = self._latest_tracks
@@ -270,10 +274,17 @@ class Agent:
             self.localiser.step(self.control_command)
             if self._loc_recorder is not None:
                 fp = obs["full_pose"]
+                # ground truth in the MAP frame the tracker compares
+                # against (x = -game_x, y = game_z, yaw = pi/2 - heading
+                # — the particle filter's world yaw; recording the raw
+                # game pose makes every benchmark error meaningless)
+                map_yaw = (np.pi / 2 - fp["translation_yaw"] + np.pi) % (
+                    2 * np.pi
+                ) - np.pi
                 self._loc_recorder.record_control(
                     time.monotonic(),
                     self.control_command,
-                    {"x": fp["x"], "y": fp["y"], "yaw": fp["yaw"]},
+                    {"x": -fp["x"], "y": fp["z"], "yaw": map_yaw},
                 )
 
     @property
@@ -370,19 +381,26 @@ class Agent:
     # -- run loop & lifecycle (reference aci run loop) -------------------
     def termination_condition(self, observation: Dict) -> bool:
         """Stalled-progress / empty-tank termination (reference
-        agent.py:42-76). Checked per frame; unlike the reference's
-        single-frame test (which relies on game-position jitter) a stall
-        must persist for N consecutive frames, so a standing start
-        doesn't terminate instantly."""
+        agent.py:42-76). Checked per frame: the car is stalled when it
+        has covered less than MINIMUM_PROGRESS of the lap over the last
+        STALLED_FRAMES frames (a ring buffer of positions). Comparing
+        CONSECUTIVE frames against the same threshold — what the
+        reference's single-delta test does when called per frame — flags
+        a full-speed car as stalled on any track longer than
+        ~v*dt/MINIMUM_PROGRESS (a 22 km lap at 25 m/s moves only 1e-4 of
+        the lap per frame)."""
         state = observation["state"]
         position = state["normalised_car_position"]
-        if self._previous_position is not None:
-            if abs(position - self._previous_position) < MINIMUM_PROGRESS:
-                self._no_progress_frames += 1
-            else:
-                self._no_progress_frames = 0
-        self._previous_position = position
-        stalled = self._no_progress_frames >= STALLED_FRAMES
+        self._position_ring.append(position)
+        if len(self._position_ring) > STALLED_FRAMES:
+            self._position_ring.pop(0)
+            old = self._position_ring[0]
+            # wrap-aware progress over the window
+            progress = abs(position - old)
+            progress = min(progress, 1.0 - progress)
+            stalled = progress < MINIMUM_PROGRESS
+        else:
+            stalled = False
         return stalled or state["fuel"] < MINIMUM_FUEL_L
 
     def restart_condition(self, observation: Dict) -> bool:
@@ -404,7 +422,9 @@ class Agent:
 
     def teardown(self):
         self.controller.shutdown()
-        self.executor.shutdown(wait=False)
+        # wait for in-flight perception work: a worker appending to the
+        # recorder while save() pickles the same dict corrupts the file
+        self.executor.shutdown(wait=True)
         if self._loc_recorder is not None:
             self._loc_recorder.save()
         if self.simulator is not None:

@@ -23,11 +23,9 @@ def make_asymmetric_map(m=1500):
     r = 200.0 + 30.0 * np.sin(theta) + 15.0 * np.sin(2 * theta) + 7.0 * np.cos(5 * theta)
     centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
     # boundary via normals
-    d = np.roll(centre, -1, axis=0) - centre
-    t = d / np.linalg.norm(d, axis=1, keepdims=True)
-    normal = np.stack([-t[:, 1], t[:, 0]], axis=1)
-    left = centre + 5.0 * normal
-    right = centre - 5.0 * normal
+    from acmpc_tpu.geometry.tracks import offset_boundaries
+
+    left, right = offset_boundaries(centre, 5.0)
     return TrackMap(
         centre=jnp.asarray(centre, jnp.float32),
         left=jnp.asarray(left, jnp.float32),

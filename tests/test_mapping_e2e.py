@@ -24,13 +24,13 @@ def small_loop_map(m=600):
     theta = np.linspace(0, 2 * np.pi, m, endpoint=False)
     r = 52.0 + 5.0 * np.sin(theta) + 2.5 * np.sin(2 * theta)
     centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
-    d = np.roll(centre, -1, axis=0) - centre
-    t = d / np.linalg.norm(d, axis=1, keepdims=True)
-    n = np.stack([-t[:, 1], t[:, 0]], axis=1)
+    from acmpc_tpu.geometry.tracks import offset_boundaries
+
+    left, right = offset_boundaries(centre, 5.0)
     return TrackMap(
         centre=jnp.asarray(centre, jnp.float32),
-        left=jnp.asarray(centre + 5.0 * n, jnp.float32),
-        right=jnp.asarray(centre - 5.0 * n, jnp.float32),
+        left=jnp.asarray(left, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
     )
 
 

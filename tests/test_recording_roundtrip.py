@@ -117,6 +117,13 @@ def test_localisation_recording_replays_through_benchmark(recorded_run):
     assert bench.tracker._n_total_observations == len(observations)
     assert 0.0 <= summary["percent_localised"] <= 100.0
     assert summary["n_steps"] == len(control)
+    # ground truth is recorded in the MAP frame the tracker compares
+    # against, so position error must be physically sensible (the car
+    # drives a <=400 m loop) rather than frame-mismatch garbage
+    import math
+
+    if not math.isnan(summary["mean_position_error_m"]):
+        assert summary["mean_position_error_m"] < 60.0, summary
 
 
 def test_dataset_capture_writes_frames_and_commands(recorded_run):

@@ -85,10 +85,9 @@ def generate_centreline(
 
 
 def boundaries(centre: np.ndarray, half_width: float = 4.75):
-    d = np.roll(centre, -1, axis=0) - centre
-    t = d / np.linalg.norm(d, axis=1, keepdims=True)
-    n = np.stack([-t[:, 1], t[:, 0]], axis=1)
-    return centre + half_width * n, centre - half_width * n
+    from acmpc_tpu.geometry.tracks import offset_boundaries
+
+    return offset_boundaries(centre, half_width)
 
 
 def drive_mapping_pipeline(
