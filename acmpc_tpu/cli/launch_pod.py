@@ -23,6 +23,77 @@ import json
 import time
 
 
+def run_two_process_smoke(scenarios_per_chip=2, steps=2, timeout=420):
+    """Launch this CLI as TWO coordinated ``jax.distributed`` processes
+    (gloo over loopback, 2 virtual CPU devices each) and return process
+    0's fleet-summary dict.
+
+    This executes the real multi-process path — distributed init, the
+    ("host", "chip") pod mesh, cross-process collectives — so the DCN
+    code (`parallel/multihost.py`) runs before it ever meets a real pod.
+    Used by tests/test_multiprocess_distributed.py and dryrun_multichip.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    args = [
+        sys.executable,
+        "-m",
+        "acmpc_tpu.cli.launch_pod",
+        "--coordinator",
+        f"127.0.0.1:{port}",
+        "--num-hosts",
+        "2",
+        "--scenarios-per-chip",
+        str(scenarios_per_chip),
+        "--steps",
+        str(steps),
+    ]
+    repo = Path(__file__).resolve().parents[2]
+    procs = [
+        subprocess.Popen(
+            args + ["--host-id", str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=repo,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append((p.returncode,) + p.communicate(timeout=timeout))
+    finally:
+        for p in procs:  # kill only the exact children we started
+            if p.poll() is None:
+                p.kill()
+    for p, (_, out, err) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"pod process failed (rc={p.returncode}):\n{out}\n{err}"
+            )
+    summaries = [
+        json.loads(line)
+        for line in outs[0][1].splitlines()
+        if line.startswith("{")
+    ]
+    if not summaries:
+        raise RuntimeError(f"process 0 printed no summary:\n{outs[0][1]}")
+    return summaries[-1]
+
+
 def main():
     ap = argparse.ArgumentParser(description="Pod-sharded closed-loop sweep")
     ap.add_argument("--coordinator", default=None, help="host:port of host 0")
@@ -57,6 +128,7 @@ def main():
         initialize_distributed,
         make_pod_mesh,
         grid_sharding,
+        put_global,
         sharded_lap_sweep,
     )
 
@@ -68,6 +140,7 @@ def main():
 
     import jax
     import dataclasses
+    import pathlib
 
     from acmpc_tpu.bench.lap_sweep import LapSweep, SweepGrid
     from acmpc_tpu.config import load_config
@@ -75,7 +148,15 @@ def main():
     from acmpc_tpu.localise.track_map import load_track_map
     from acmpc_tpu.mpc.spatial_mpc import SpatialMPC
 
-    cfg = load_config("configs/monza.yaml")
+    # resolve repo-root-relative paths so the CLI works from any cwd
+    # (the 2-process smoke test launches it from a temp dir)
+    root = pathlib.Path(__file__).resolve().parents[2]
+
+    def _resolve(p):
+        p = pathlib.Path(p)
+        return p if p.exists() else root / p
+
+    cfg = load_config(_resolve("configs/monza.yaml"))
     control = dataclasses.replace(
         cfg.racing_control, horizon=args.horizon, rti_iterations=50
     )
@@ -85,7 +166,7 @@ def main():
         max_velocity=control.constraints.v_max,
     )
     mpc = SpatialMPC(control, model)
-    tm = load_track_map(args.map)
+    tm = load_track_map(_resolve(args.map))
     sweep = LapSweep(mpc, tm, half_width=4.5, dt=0.1)
 
     mesh = make_pod_mesh()
@@ -94,7 +175,7 @@ def main():
     grid = SweepGrid.perturbed(
         jax.random.PRNGKey(0), batch, int(tm.centre.shape[0]), v_max=args.v_max
     )
-    grid = jax.device_put(grid, grid_sharding(mesh))
+    grid = put_global(grid, grid_sharding(mesh))
 
     run = sharded_lap_sweep(sweep, mesh, args.steps)
     metrics, fleet = run(grid)  # compile + first run

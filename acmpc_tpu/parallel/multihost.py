@@ -44,6 +44,26 @@ def initialize_distributed(
     )
 
 
+def put_global(tree, sharding: NamedSharding):
+    """Place a host-global pytree onto a (possibly multi-process) mesh.
+
+    Single-process: plain ``device_put``. Multi-process: every process
+    holds the SAME global value (deterministic construction, e.g. a fixed
+    PRNG key) and contributes only its addressable shards via
+    ``make_array_from_callback`` — no cross-host data movement happens at
+    ingest, which is the launch contract of ``cli/launch_pod.py``."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put_leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree.map(put_leaf, tree)
+
+
 def make_pod_mesh(
     hosts: Optional[int] = None, axis_names=("host", "chip")
 ) -> Mesh:
