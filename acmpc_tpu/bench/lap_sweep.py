@@ -81,13 +81,23 @@ class LapSweep:
         window_spacing: float = 2.0,
         reference_polyline: np.ndarray | None = None,
         reference_widths: np.ndarray | None = None,
+        reference_speeds: np.ndarray | None = None,
     ):
         """``reference_polyline`` switches the TRACKED line away from the
         map centreline — e.g. the shipped minimum-curvature raceline
         (tools/build_assets.py); ``reference_widths`` gives the drivable
         corridor width at each of its points (the raceline hugs the
         boundaries, so the symmetric e_y corridor shrinks there). The
-        off-track metric always measures against the map centreline."""
+        off-track metric always measures against the map centreline.
+
+        ``reference_speeds`` is the shipped per-point speed profile
+        (data/racelines/*.npz "speeds"): when given, each step's runtime
+        speed cap is the windowed mean of the profile around the car —
+        the reference's localised map-speed lookup (its agent takes the
+        mean of map speeds from index-25 to +75 on a 0.5 m map,
+        reference agent.py:130-143) — and the per-window speed QP runs
+        in localised mode (curvature cap dropped; map speeds already
+        encode it, reference speed_profile.py:131-150)."""
         self.mpc = mpc
         self.map = track_map
         self.half_width = half_width
@@ -103,6 +113,31 @@ class LapSweep:
         else:
             widths = np.asarray(reference_widths, np.float32)
         self._widths = jnp.asarray(widths, mpc.dtype)
+        if reference_speeds is None:
+            self._speeds = None
+        else:
+            # align the (N-1,) per-segment profile to reference points
+            speeds = np.asarray(reference_speeds, np.float32)
+            self._speeds = jnp.asarray(
+                np.resize(speeds, len(ref)), mpc.dtype
+            )
+            # the reference's window is -12.5 m .. +37.5 m around the
+            # car's map index (-25..+75 points on its 0.5 m map)
+            self._speed_window = (
+                -max(1, int(round(12.5 / spacing))),
+                max(1, int(round(37.5 / spacing))),
+            )
+
+    def _runtime_v_max(self, grid_v_max, i0):
+        """Per-step speed cap: the grid's cap, gated by the windowed mean
+        of the shipped speed profile when one is loaded (the reference's
+        reference_speed, agent.py:130-143)."""
+        if self._speeds is None:
+            return grid_v_max
+        lo, hi = self._speed_window
+        m = self._speeds.shape[0]
+        idx = (i0 + jnp.arange(lo, hi)) % m
+        return jnp.minimum(grid_v_max, jnp.mean(self._speeds[idx]))
 
     # -- per-scenario pieces --------------------------------------------
     def _init_car(self, grid: SweepGrid, i: int | None = None) -> CarState:
@@ -203,7 +238,10 @@ class LapSweep:
             mpc_state, self._shift_stages(i0, prev_i0), self.mpc.horizon
         )
         mpc_state, diags = self.mpc.get_control(
-            mpc_state, ref, v_max_runtime=grid_v_max, is_localised=False
+            mpc_state,
+            ref,
+            v_max_runtime=self._runtime_v_max(grid_v_max, i0),
+            is_localised=self._speeds is not None,
         )
         car, metrics = self._integrate(car, mpc_state, i0)
         metrics["control_iterations"] = diags.control_iterations
@@ -223,8 +261,12 @@ class LapSweep:
                 mpc_states = jax.vmap(
                     lambda s, k: shift_warm_start(s, k, self.mpc.horizon)
                 )(mpc_states, jax.vmap(self._shift_stages)(i0, prev_i0))
+                localised = self._speeds is not None
                 mpc_states, diags = self.mpc.batched_get_control_fused(
-                    mpc_states, refs, v_max=v_max
+                    mpc_states,
+                    refs,
+                    v_max=jax.vmap(self._runtime_v_max)(v_max, i0),
+                    is_localised=jnp.full(refs.shape[:1], localised),
                 )
                 cars, metrics = jax.vmap(self._integrate)(
                     cars, mpc_states, i0

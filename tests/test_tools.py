@@ -222,3 +222,59 @@ def test_build_synth_track_pipeline(tmp_path):
 
     tm = load_track_map(out)
     assert tm.centre.shape[0] == len(built["centre_track"])
+
+
+def test_full_lap_smoke():
+    """2-scenario, few-dozen-step smoke of the endurance sweep
+    (tools/full_lap.py, BASELINE config 5) — both the centreline group
+    and the raceline + shipped-speed-profile group (BASELINE config 1's
+    full wording), so the FULL_LAP.json artifact stays reproducible."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    sys.path.insert(0, str(ROOT))
+    import full_lap
+    import bench as B
+    import jax
+    import jax.numpy as jnp
+
+    from acmpc_tpu.bench import LapSweep, SweepGrid
+    from acmpc_tpu.localise.track_map import load_track_map
+
+    mpc = B._closed_loop_mpc()
+    tm = load_track_map(ROOT / "data/maps/synth_nordschleife.npy")
+    n_pts = int(tm.centre.shape[0])
+    grid = SweepGrid.perturbed(jax.random.PRNGKey(0), 2, n_pts, v_max=24.0)
+
+    sweep = LapSweep(mpc, tm, half_width=4.5, dt=0.1)
+    out = full_lap.run_laps(sweep, grid, 0.1, max_steps=30)
+    assert out["total_solves"] == 60
+    assert out["sequential_solves_per_scenario"] == 30
+    assert out["solve_success_rate"] >= 0.9
+    assert out["completed_laps"] == 0  # 30 steps cannot lap 19.7 km
+    assert out["lap_time_s_mean"] is None
+
+    # raceline + shipped speed profile (exercises the windowed
+    # map-speed cap through the fused batched path)
+    data = np.load(ROOT / "data/racelines/synth_nordschleife.npz")
+    rsweep = LapSweep(
+        mpc,
+        tm,
+        half_width=4.5,
+        dt=0.1,
+        reference_polyline=data["raceline"],
+        reference_widths=data["widths"],
+        reference_speeds=data["speeds"],
+    )
+    rgrid = grid.replace(
+        start_index=(
+            grid.start_index.astype(jnp.float32)
+            * (len(data["raceline"]) / n_pts)
+        ).astype(jnp.int32),
+        lateral_offset=jnp.zeros_like(grid.lateral_offset),
+        v_max=jnp.full_like(grid.v_max, 32.0),
+    )
+    r = full_lap.run_laps(rsweep, rgrid, 0.1, max_steps=10)
+    assert r["solve_success_rate"] >= 0.9
+    # the shipped profile caps the runtime speed, so the cars move
+    assert r["total_solves"] == 20
