@@ -43,7 +43,9 @@ TRACKS = [
     "monza", "spa", "silverstone", "nordschleife",
     "vallelunga", "bathurst", "yas_marina",
 ]
-HORIZON = 30  # fixture horizon: fast to solve, exercises the full pipeline
+# the SHIPPED racing operating point (configs/*.yaml racing horizon) —
+# the fast regression guard must cover what production runs
+HORIZON = 50
 
 
 def main():
@@ -80,10 +82,59 @@ def main():
             )
             out[f"{key}/cum_time"] = np.asarray(state.cum_time)
             print(key, "solved:", bool(state.solved))
+    for key, val in multi_track_golden(root).items():
+        out[key] = val
     path = root / "tests" / "fixtures" / "golden_controls.npz"
     path.parent.mkdir(exist_ok=True)
     np.savez_compressed(path, **out)
     print("wrote", path)
+
+
+def multi_track_golden(root) -> dict:
+    """One batched 7-track MultiTrackMPC solve (per-track params packed,
+    hairpin radius varying per track) — the track-parallel program's own
+    regression fixture."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.dynamics import SpatialBicycleModel
+    from acmpc_tpu.geometry.tracks import get_hairpin_track, with_widths
+    from acmpc_tpu.mpc.multi_track import MultiTrackMPC
+    from acmpc_tpu.mpc.spatial_mpc import SpatialMPC
+
+    agent_cfgs = [load_config(root / "configs" / f"{t}.yaml") for t in TRACKS]
+    configs = [
+        dataclasses.replace(c.racing_control, horizon=HORIZON)
+        for c in agent_cfgs
+    ]
+    model = SpatialBicycleModel(
+        vehicle=agent_cfgs[0].vehicle,
+        min_velocity=configs[0].constraints.v_min,
+        max_velocity=configs[0].constraints.v_max,
+    )
+    mt = MultiTrackMPC(SpatialMPC(configs[0], model), configs)
+    refs = jnp.stack(
+        [
+            jnp.asarray(
+                with_widths(get_hairpin_track(40.0 + 5 * i, HORIZON)),
+                jnp.float32,
+            )
+            for i in range(len(TRACKS))
+        ]
+    )
+    v_caps = jnp.asarray(
+        [min(30.0, c.unlocalised_max_speed or 30.0) for c in configs],
+        jnp.float32,
+    )
+    out, _ = mt.get_control(mt.initial_states(), refs, v_max_runtime=v_caps)
+    print("multi_track solved:", np.asarray(out.solved).tolist())
+    return {
+        "multi_track/solved": np.asarray(out.solved),
+        "multi_track/projected_control": np.asarray(out.projected_control),
+        "multi_track/cum_time": np.asarray(out.cum_time),
+    }
 
 
 if __name__ == "__main__":
