@@ -121,16 +121,51 @@ def test_dashboard_serves_grid_page_and_session(live_dashboard):
 
 @pytest.mark.parametrize("feed", ["control", "map", "segmentation"])
 def test_dashboard_streams_per_feed_mjpeg(live_dashboard, feed):
-    import time as _time
-
-    for _ in range(50):  # wait for the renderer to produce a frame
-        if live_dashboard._frame(feed) is not None:
-            break
-        _time.sleep(0.1)
+    # rendering is lazy (server-side feed lifecycle): the first frame is
+    # produced only once a stream client attaches, so just connect and
+    # block until one arrives
     head = _get(f"/feed/{feed}.mjpg", 512)
     assert b"--frame" in head and b"image/jpeg" in head
+
+
+def test_dashboard_streaming_layout_page(live_dashboard):
+    page = _get("/stream").decode()
+    assert "composite" in page and "Session" in page or "session" in page
 
 
 def test_dashboard_404_on_unknown_feed(live_dashboard):
     with pytest.raises(Exception):
         _get("/feed/nonsense.mjpg", 10)
+
+
+def test_feed_lifecycle_stops_server_side_rendering(live_dashboard):
+    """The reference's FeedThreads are start/stoppable (feeds.py:41-57);
+    here /feed/<name>/stop must stop the SERVER from rendering the feed,
+    not just the client from displaying it."""
+    import time as _time
+    import urllib.request
+
+    # watched + enabled -> active
+    live_dashboard._attach("control", +1)
+    assert live_dashboard._feed_active("control")
+
+    req = urllib.request.Request(
+        "http://127.0.0.1:18793/feed/control/stop"
+    )
+    with urllib.request.urlopen(req, timeout=20) as r:
+        assert r.status == 204
+    assert not live_dashboard._feed_active("control")
+    # renderer skips the stopped feed: its frame stops being refreshed
+    _time.sleep(0.3)
+    before = live_dashboard._frame("control")
+    _time.sleep(0.3)
+    assert live_dashboard._frame("control") == before
+
+    with urllib.request.urlopen(
+        "http://127.0.0.1:18793/feed/control/start", timeout=20
+    ) as r:
+        assert r.status == 204
+    assert live_dashboard._feed_active("control")
+    live_dashboard._attach("control", -1)
+    # nobody watching -> inactive even though enabled
+    assert not live_dashboard._feed_active("control")
