@@ -83,6 +83,14 @@ class Agent:
         # fast/slow the host runs); wall clock against a real-time game
         sim_clock = getattr(self.simulator, "clock", None)
         self.controller = Controller(self.cfg, clock=sim_clock)
+        # the SAME clock drives localisation dt and benchmark-recording
+        # timestamps: the particle filter integrates control over dt, and
+        # the sim's ground truth advances in SIM time — stamping wall
+        # time would make every replayed motion update ~wall/sim times
+        # too large (the reference records real-time sessions, where the
+        # two clocks coincide; a discrete-time sim's do not)
+        self._clock = sim_clock if sim_clock is not None else time.monotonic
+        self._last_localiser_step_time: Optional[float] = None
         self._throttle_pid = ThrottlePID(self.cfg.throttle_pid)
         self._brake_pid = BrakePID(self.cfg.brake_pid)
         self._steering_pid = SteeringPID(self.cfg.steering_pid)
@@ -235,7 +243,7 @@ class Agent:
             self.localiser.observe_tracklimits(left, right)
             if self._loc_recorder is not None:
                 self._loc_recorder.record_observation(
-                    time.monotonic(), left, right
+                    self._clock(), left, right
                 )
 
     def _maybe_add_observations_to_map(self, obs: ObservationDict):
@@ -271,7 +279,13 @@ class Agent:
         self.pose["velocity"] = obs["speed"]
         self.pose["steering_angle"] = obs["full_pose"]["SteeringRequest"]
         if self.localiser is not None:
-            self.localiser.step(self.control_command)
+            now = self._clock()
+            last = self._last_localiser_step_time
+            self._last_localiser_step_time = now
+            self.localiser.step(
+                self.control_command,
+                dt=0.0 if last is None else now - last,
+            )
             if self._loc_recorder is not None:
                 fp = obs["full_pose"]
                 # ground truth in the MAP frame the tracker compares
@@ -282,7 +296,7 @@ class Agent:
                     2 * np.pi
                 ) - np.pi
                 self._loc_recorder.record_control(
-                    time.monotonic(),
+                    now,
                     self.control_command,
                     {"x": -fp["x"], "y": fp["z"], "yaw": map_yaw},
                 )
@@ -404,6 +418,10 @@ class Agent:
         return stalled or state["fuel"] < MINIMUM_FUEL_L
 
     def restart_condition(self, observation: Dict) -> bool:
+        """Never request a session restart — deliberately mirrors the
+        reference's stub (reference agent.py:39-40, which also hardcodes
+        False): the run-loop contract reserves this hook for race-restart
+        logic neither implementation ships."""
         return False
 
     def run(self, max_steps: int = 100000, check_termination_every: int = 1):
