@@ -30,6 +30,14 @@ def main():
     )
     parser.add_argument("--map", default=None, help="override map path")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--figure",
+        default=None,
+        help="save the 9-panel benchmark figure (particle map, BEV map, "
+        "detections, execution times, score distribution, x/y/yaw error "
+        "— the reference's live dashboard, rendered headless) to this "
+        "PNG path",
+    )
     args = parser.parse_args()
 
     from acmpc_tpu.config import load_config
@@ -61,7 +69,18 @@ def main():
         vehicle=vehicle,
         seed=seed,
     )
-    summary = bench.run()
+    visualiser = None
+    if args.figure:
+        from acmpc_tpu.localise.benchmarking.visualisation import (
+            LocalisationVisualiser,
+        )
+
+        visualiser = LocalisationVisualiser(bench.localiser, bench.tracker)
+    summary = bench.run(visualiser=visualiser)
+    if visualiser is not None:
+        gt = [r["game_pose"][0] for r in bench._recording if "game_pose" in r]
+        visualiser.save_figure(args.figure, gt_poses=gt)
+        print(f"figure saved to {args.figure}")
     print(json.dumps(summary, indent=2))
     print(
         f"Percentage of time localised: {summary['percent_localised']:.1f}%\n"

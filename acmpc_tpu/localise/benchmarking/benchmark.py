@@ -44,18 +44,26 @@ class BenchmarkLocalisation:
         self.tracker = LocalisationTracker(self.localiser, gt)
         self._last_timestamp: Optional[float] = None
 
-    def run(self) -> Dict:
+    def run(self, visualiser=None) -> Dict:
+        """Replay the recording; an optional LocalisationVisualiser gets
+        the reference's two update hooks (update_particles per control
+        step, update_detections per observation) and can save the 9-panel
+        figure afterwards."""
         for record in self._recording:
             if "control_command" in record:
                 dt = self._dt(record["time"])
                 t0 = perf_counter()
                 self.localiser.step(record["control_command"], dt=dt)
                 self.tracker.update_step(perf_counter() - t0)
+                if visualiser is not None:
+                    visualiser.update_particles()
             elif "tracklimits" in record:
                 obs = record["tracklimits"]
                 t0 = perf_counter()
                 self.localiser.observe_tracklimits(obs["left"], obs["right"])
                 self.tracker.update_observation(perf_counter() - t0)
+                if visualiser is not None:
+                    visualiser.update_detections(obs["left"], obs["right"])
         return self.tracker.summary()
 
     def _dt(self, timestamp: float) -> float:

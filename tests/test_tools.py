@@ -66,11 +66,22 @@ def test_benchmark_localisation_replay(tmp_path):
         map_path=map_path,
         localisation_cfg=cfg,
     )
-    summary = bench.run()
+    from acmpc_tpu.localise.benchmarking.visualisation import (
+        LocalisationVisualiser,
+    )
+
+    vis = LocalisationVisualiser(bench.localiser, bench.tracker)
+    summary = bench.run(visualiser=vis)
     assert summary["n_steps"] == 120
     assert summary["n_observations"] == 120
     assert summary["percent_localised"] >= 0.0
     assert np.isfinite(summary["step_p50_ms"])
+
+    # 9-panel benchmark figure (reference visualisation.py:22-39 axes)
+    fig_path = tmp_path / "benchmark.png"
+    gt = [r["game_pose"][0] for r in bench._recording if "game_pose" in r]
+    vis.save_figure(str(fig_path), gt_poses=gt)
+    assert fig_path.exists() and fig_path.stat().st_size > 10_000
 
 
 def test_raceline_cuts_corners():
