@@ -95,28 +95,63 @@ class Localiser:
     def observe_tracklimits(self, left: np.ndarray, right: np.ndarray):
         """Score particles against a BEV track-limit observation — the
         reference's _score_particles path (localiser.py:227, 234-239)."""
-        ol, ml = self._prepare(left)
-        orr, mr = self._prepare(right)
-        self._state = self._update(self._state, ol, ml, orr, mr)
+        ol, ml, sl = self._prepare(left)
+        orr, mr, sr = self._prepare(right)
+        self._state = self._update(self._state, ol, ml, orr, mr, sl, sr)
 
     # -- helpers ---------------------------------------------------------
     def _prepare(self, obs: np.ndarray):
-        """Downsample to map point density then pad to the static size
-        (reference localiser.py:241-253)."""
+        """Normalise a BEV boundary polyline for point-for-point scoring:
+        orient near-to-far, resample along its arclength at exactly the
+        map's point spacing, pad to the static size, and measure the
+        visible-start offset.
+
+        The reference stride-downsamples to map density and pairs the
+        observation with a map slice starting at the particle's nearest
+        boundary point (localiser.py:241-253, 391-400). That pairing is
+        only geometrically consistent when the observation starts AT the
+        car and is already near map density; a camera whose near field
+        starts y0 metres ahead biases every index-matched pair by y0 —
+        measured as a constant ~6.5 m error floor that dragged the whole
+        particle cloud backwards ~0.4 m per update. Interpolating at the
+        exact map spacing and returning round(y0/spacing) for the update
+        step to add to the slice start makes the same point-for-point
+        error the reference computes start from the first VISIBLE map
+        point instead."""
         obs = np.asarray(obs, np.float32)[:, :2]
         p = self._pf_config.max_observation_points
         if len(obs) > 1:
-            seg = np.linalg.norm(obs[1:] - obs[:-1], axis=1).mean()
-            n_points = int(len(obs) * seg / self._avg_spacing)
-            n_points = max(1, min(n_points, len(obs)))
-            idx = np.linspace(0, len(obs) - 1, n_points).astype(np.int64)
-            obs = obs[np.unique(idx)]
+            if obs[0, 1] > obs[-1, 1]:  # far-to-near input: flip
+                obs = obs[::-1]
+            seg = np.linalg.norm(obs[1:] - obs[:-1], axis=1)
+            # resample only on a REAL density mismatch (sparse per-row
+            # chain points, decimated streams): when the observation is
+            # already near map density, its native points correspond to
+            # local map points better than a global-average regrid does
+            # (boundary spacing varies with curvature side)
+            ratio = seg.mean() / self._avg_spacing
+            if ratio > 1.5 or ratio < 0.67:
+                s = np.concatenate([[0.0], np.cumsum(seg)])
+                n = int(s[-1] / self._avg_spacing) + 1
+                n = max(2, min(n, p))
+                si = np.arange(n, dtype=np.float32) * self._avg_spacing
+                obs = np.stack(
+                    [np.interp(si, s, obs[:, 0]), np.interp(si, s, obs[:, 1])],
+                    axis=1,
+                ).astype(np.float32)
         obs = obs[:p]
+        # along-track offset of the first visible point from the car:
+        # its forward (y) BEV coordinate, in map-index units
+        start = int(round(max(float(obs[0, 1]), 0.0) / self._avg_spacing))
         padded = np.zeros((p, 2), np.float32)
         mask = np.zeros((p,), bool)
         padded[: len(obs)] = obs
         mask[: len(obs)] = True
-        return jnp.asarray(padded), jnp.asarray(mask)
+        return (
+            jnp.asarray(padded),
+            jnp.asarray(mask),
+            jnp.asarray(start, jnp.int32),
+        )
 
     # exposed for benchmarking / diagnostics
     @property

@@ -13,12 +13,17 @@ changes from the reference, driven by the hardware:
   the whole update is ONE jitted program;
 * numpy RNG becomes explicit jax.random keys carried in the state.
 
-Scoring semantics mirror the reference exactly: rotate the BEV track-limit
+Scoring semantics follow the reference: rotate the BEV track-limit
 observation into each particle's world frame (localiser.py:330-353), slice
 the map boundaries starting at each particle's nearest boundary indices
 (:391-400), mean L2 error -> Gaussian score (:402-410), threshold validity
 (:453-462), reset by re-seeding along the whole centreline when the
 population collapses (:468-484), convergence by max spread (:561-570).
+One deliberate fix over the reference: the map slice starts at the
+particle's nearest index PLUS the observation's visible-start offset
+(update()'s left_start/right_start, measured by Localiser._prepare), so
+the point-for-point pairing is not biased by the camera's near-field
+blind distance.
 """
 
 from __future__ import annotations
@@ -165,9 +170,18 @@ class ParticleFilter:
         obs_left_mask: jnp.ndarray,  # (P,) bool
         obs_right: jnp.ndarray,  # (P, 2)
         obs_right_mask: jnp.ndarray,
+        left_start: jnp.ndarray | int = 0,  # slice-start offset (indices)
+        right_start: jnp.ndarray | int = 0,
     ) -> PFState:
         """Score particles against a track-limit observation, threshold,
-        resample/reset (reference _score_particles, localiser.py:234-239)."""
+        resample/reset (reference _score_particles, localiser.py:234-239).
+
+        ``left_start``/``right_start`` shift each boundary's map slice
+        forward by the observation's visible-start distance (in map-index
+        units, from Localiser._prepare) so the index-matched pairs line up
+        with what the camera can actually see — the reference starts its
+        slice at the particle's own nearest point (localiser.py:391-400),
+        which biases scoring by the camera's near-field blind distance."""
         cfg = self.config
         states = state.states
 
@@ -213,10 +227,10 @@ class ParticleFilter:
         seq = jnp.arange(p)
         ml, mr = self.map.left.shape[0], self.map.right.shape[0]
         left_slice = self.map.left[
-            jnp.mod(left_idx[:, None] + seq[None, :], ml)
+            jnp.mod(left_idx[:, None] + left_start + seq[None, :], ml)
         ]  # (N, P, 2)
         right_slice = self.map.right[
-            jnp.mod(right_idx[:, None] + seq[None, :], mr)
+            jnp.mod(right_idx[:, None] + right_start + seq[None, :], mr)
         ]
         limits = jnp.concatenate([left_slice, right_slice], axis=1)  # (N, 2P, 2)
 
@@ -238,7 +252,29 @@ class ParticleFilter:
         )
         n_valid = jnp.sum(valid)
 
-        state = state.replace(scores=score, valid=valid)
+        # accumulate the posterior weight across observations (sequential
+        # importance sampling) instead of the reference's per-frame score
+        # overwrite (_update_particle_scores): one frame's likelihood
+        # ratio between a true-pose particle and a plausible wrong one is
+        # only ~2-4x at sigma=10, but it compounds — after ~10
+        # observations the weights separate decisively, which both
+        # sharpens the estimate and drives the ESS resampling trigger.
+        # Accumulated in log space with a max-shift: the direct product
+        # underflows fp32 within a handful of sharp-sigma frames, which
+        # would silently reset the weights to uniform every few updates.
+        logw = jnp.log(jnp.maximum(state.scores, 1e-30)) + jnp.log(
+            jnp.maximum(score, 1e-30)
+        )
+        logw = jnp.where(valid, logw, -jnp.inf)
+        logw = logw - jnp.max(jnp.where(valid, logw, -1e30))
+        post = jnp.where(valid, jnp.exp(logw), 0.0)
+        psum = jnp.sum(post)
+        post = jnp.where(
+            psum > 0,
+            post / jnp.maximum(psum, 1e-30),
+            valid / jnp.maximum(n_valid, 1),
+        )
+        state = state.replace(scores=post, valid=valid)
 
         key, reset_key, resample_key = jax.random.split(state.key, 3)
         state = state.replace(key=key)
@@ -260,7 +296,19 @@ class ParticleFilter:
     def _resample(self, state: PFState, key, n_valid) -> PFState:
         """Keep survivors, top up with jittered copies sampled by score
         (reference localiser.py:486-545) — fixed-shape formulation: compact
-        survivors to the front, fill the tail with categorical draws."""
+        survivors to the front, fill the tail with categorical draws.
+
+        One addition over the reference: when the effective sample size
+        of the accumulated weights collapses below half the valid
+        population, ALL slots are resampled (systematic SIR), not just
+        the invalid tail. The reference's refill-only scheme converges
+        through particle deaths, which real tracks and noisy real
+        perception supply in volume; on a weakly discriminating
+        observation stream (smooth synthetic circuits, oracle perception)
+        almost nothing dies and refill-only never concentrates. The ESS
+        trigger leaves flat-score regimes (long straights — along-track
+        genuinely unobservable) untouched, where it degrades exactly to
+        the reference behaviour."""
         cfg = self.config
         n = cfg.n_particles
         order = jnp.argsort(~state.valid, stable=True)
@@ -284,11 +332,24 @@ class ParticleFilter:
             )[None, :]
         )
         slot = jnp.arange(n)
-        is_survivor = slot < n_valid
+        ess = 1.0 / jnp.maximum(jnp.sum(weights**2), 1e-30)
+        # only while unconverged: a converged cluster follows the
+        # reference's refill-only scheme, so the sampling jitter is not
+        # re-injected into every particle each time the ESS dips
+        resample_all = (~state.converged) & (ess < 0.5 * n_valid)
+        is_survivor = (slot < n_valid) & ~resample_all
         new_states = jnp.where(
             is_survivor[:, None], states_c, states_c[draw] + noise
         )
-        new_scores = jnp.where(is_survivor, scores_c, scores_c[draw])
+        # a full systematic resample restarts the accumulated weights at
+        # uniform (the draw already encodes them — keeping the old weight
+        # on a duplicated particle would double-count its evidence);
+        # tail-refill keeps the reference's copy-the-score semantics
+        new_scores = jnp.where(
+            resample_all,
+            1.0 / n,
+            jnp.where(is_survivor, scores_c, scores_c[draw]),
+        )
         desired = jnp.where(
             state.converged, cfg.n_converged_particles, cfg.n_particles
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pathlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -52,19 +53,34 @@ class TrackMap:
         return jnp.mean(d)
 
 
-def nearest_point(points: jnp.ndarray, polyline: jnp.ndarray):
+def nearest_point(points: jnp.ndarray, polyline: jnp.ndarray, refine: int = 32):
     """Brute-force nearest neighbour: points (..., K, 2) against polyline
     (M, 2). Returns (distances (..., K), indices (..., K)).
 
-    d^2 = |p|^2 - 2 p.m + |m|^2 — the cross term is a (K, M) matmul that
-    lands on the MXU; the argmin is one reduction.
-    """
+    Two stages, both TPU-shaped. Coarse: d^2 = |p|^2 - 2 p.m + |m|^2 —
+    the cross term is a (K, M) matmul on the MXU, forced to
+    precision=HIGHEST because at km-scale world coordinates the terms
+    reach ~1e6 and the cancellation leaves only metres of signal (default
+    bf16 TPU matmuls put ~5e3 of noise into the cross term, i.e. tens of
+    metres of index error; even exact-fp32 GEMMs mis-rank near-ties).
+    Refine: exact squared differences over a ±``refine`` index window
+    around the coarse argmin — a (K, 2R+1, 2) gather whose fp32 result is
+    cancellation-free, so the final index is the true nearest neighbour
+    whenever the coarse pick lands within ``refine`` points of it (fp32
+    coarse error is ~1 in d^2, i.e. a few points at 0.5 m spacing)."""
+    m = polyline.shape[0]
     p2 = jnp.sum(points**2, axis=-1, keepdims=True)  # (K, 1)
     m2 = jnp.sum(polyline**2, axis=-1)  # (M,)
-    cross = points @ polyline.T  # (K, M)
+    cross = jnp.matmul(points, polyline.T, precision=jax.lax.Precision.HIGHEST)
     d2 = p2 - 2.0 * cross + m2[None, :]
-    idx = jnp.argmin(d2, axis=-1)
-    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[..., None], -1)[..., 0], 0.0))
+    coarse = jnp.argmin(d2, axis=-1)  # (K,)
+    offs = jnp.arange(-refine, refine + 1)  # (2R+1,)
+    cand_idx = jnp.mod(coarse[..., None] + offs, m)  # (K, 2R+1)
+    cand = polyline[cand_idx]  # (K, 2R+1, 2)
+    d2r = jnp.sum((points[..., None, :] - cand) ** 2, axis=-1)
+    j = jnp.argmin(d2r, axis=-1)
+    idx = jnp.take_along_axis(cand_idx, j[..., None], -1)[..., 0]
+    dist = jnp.sqrt(jnp.take_along_axis(d2r, j[..., None], -1)[..., 0])
     return dist, idx
 
 

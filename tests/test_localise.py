@@ -180,6 +180,10 @@ def test_localiser_facade_roundtrip(tmp_path):
     spacing = float(np.linalg.norm(centre[701] - centre[700]))
     v, dt = 20.0, 0.1
     step_pts = max(1, int(round(v * dt / spacing)))
+    # the truth advances exactly step_pts*spacing per step; command THAT
+    # speed, not the pre-rounding v — the filter's motion model is exact,
+    # so a 17% speed mismatch is a built-in 0.33 m/step forward drift
+    v = step_pts * spacing / dt
     from acmpc_tpu.dynamics.vehicle import VehicleParams
 
     veh = VehicleParams()
