@@ -142,7 +142,11 @@ class Localiser:
         obs = obs[:p]
         # along-track offset of the first visible point from the car:
         # its forward (y) BEV coordinate, in map-index units
-        start = int(round(max(float(obs[0, 1]), 0.0) / self._avg_spacing))
+        start = (
+            int(round(max(float(obs[0, 1]), 0.0) / self._avg_spacing))
+            if len(obs)
+            else 0
+        )
         padded = np.zeros((p, 2), np.float32)
         mask = np.zeros((p,), bool)
         padded[: len(obs)] = obs

@@ -208,3 +208,109 @@ def test_localiser_facade_roundtrip(tmp_path):
     final_i = (700 + 99 * step_pts) % m
     di = abs(loc.estimated_map_index - final_i)
     assert min(di, m - di) < 60
+
+
+def test_nearest_point_exact_at_km_scale_coordinates():
+    """The |p|^2 - 2p.m + |m|^2 expansion cancels catastrophically at
+    km-scale world coordinates (a default-precision TPU matmul leaves
+    thousands of d^2 noise; even exact fp32 mis-ranks near-ties). The
+    windowed exact refine must return the true fp64 nearest neighbour."""
+    rng = np.random.default_rng(0)
+    theta = np.linspace(0, 2 * np.pi, 4000, endpoint=False)
+    # ~1 km offset from the origin, 0.5 m spacing — the shipped-map regime
+    poly = np.stack(
+        [950.0 + 320.0 * np.cos(theta), -780.0 + 320.0 * np.sin(theta)], 1
+    ).astype(np.float32)
+    probes = (
+        poly[rng.integers(0, len(poly), 64)]
+        + rng.uniform(-15, 15, (64, 2))
+    ).astype(np.float32)
+    d64 = np.linalg.norm(
+        poly[None].astype(np.float64) - probes[:, None].astype(np.float64),
+        axis=2,
+    )
+    idx_true = d64.argmin(1)
+    dist, idx = jax.jit(nearest_point)(
+        jnp.asarray(probes), jnp.asarray(poly)
+    )
+    np.testing.assert_array_equal(np.asarray(idx), idx_true)
+    np.testing.assert_allclose(
+        np.asarray(dist), d64.min(1), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_prepare_aligns_sparse_far_to_near_observation():
+    """A sparse (several-metre spacing), far-to-near boundary observation
+    whose near field starts metres ahead of the car — the oracle
+    perception's raw chain points — must score the true pose at
+    sub-metre error once _prepare resamples it and the update offsets the
+    map slice by the visible-start distance."""
+    tm = make_asymmetric_map()
+    cfg = LocalisationConfig(
+        use_localisation=True,
+        n_particles=8,
+        n_converged_particles=8,
+        sampling_noise_xy=1.1,
+        sampling_noise_yaw_deg=3.0,
+        control_noise_velocity=0.25,
+        control_noise_yaw_deg=2.0,
+        threshold_offset=10,
+        threshold_rotation_deg=90,
+        threshold_minimum_particles=1,
+        threshold_track_limit=20.0,
+        score_mean=0,
+        score_sigma=10.0,
+        convergence_max_distance=50,
+        convergence_max_angle_deg=90,
+    )
+    import tempfile, pathlib
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    save_track_map(tmp / "map.npz", tm.centre, tm.left, tm.right)
+    loc = Localiser(cfg, str(tmp / "map.npz"))
+
+    centre = np.asarray(tm.centre)
+    i0 = 700
+    p0, p1 = centre[i0], centre[i0 + 1]
+    yaw = np.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+    pose = np.array([p0[0], p0[1], yaw], np.float32)
+    # synthesise the sparse far-to-near observation: boundary points from
+    # 60 m ahead down to 6 m ahead, one point every ~3.5 m
+    full_l, full_r = observation_from_pose(tm, pose, n_points=80)
+
+    def sparsify(obs):
+        m = (obs[:, 1] > 6.0) & (obs[:, 1] < 60.0)
+        kept = obs[m][::4]
+        return kept[::-1].copy()  # far-to-near ordering
+
+    ol, ml, s0 = loc._prepare(sparsify(full_l))
+    # resampled to ~map spacing, reordered near-to-far, start measured
+    assert int(s0) >= 5, f"visible-start offset {int(s0)} indices"
+    ol_np = np.asarray(ol)[np.asarray(ml)]
+    assert ol_np[0, 1] < ol_np[-1, 1]
+    seg = np.linalg.norm(np.diff(ol_np, axis=0), axis=1).mean()
+    assert abs(seg - loc._avg_spacing) < 0.25 * loc._avg_spacing
+
+    # the full update must score a true-pose particle near zero error and
+    # keep it the best-scoring particle against decoys 30 m off
+    decoys = np.stack(
+        [
+            np.concatenate(
+                [
+                    centre[(i0 + 40 * (k + 1)) % len(centre)],
+                    [yaw],
+                ]
+            )
+            for k in range(7)
+        ]
+    )
+    states = np.vstack([pose[None, :], decoys]).astype(np.float32)
+    pf = loc._pf
+    state = pf.reset(jax.random.PRNGKey(0)).replace(
+        states=jnp.asarray(states),
+        scores=jnp.full((8,), 1.0 / 8),
+        valid=jnp.ones((8,), bool),
+    )
+    orr, mr, s0r = loc._prepare(sparsify(full_r))
+    new = pf.update(state, ol, ml, orr, mr, s0, s0r)
+    assert int(jnp.argmax(new.scores)) == 0, np.asarray(new.scores)
