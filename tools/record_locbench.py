@@ -131,14 +131,33 @@ def main():
     )
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--out", default=str(ROOT / "LOCBENCH.json"))
+    ap.add_argument(
+        "--replay-only",
+        action="store_true",
+        help="skip recording; replay the COMMITTED recordings under "
+        "data/localisation/<track>_synth/racing (reproduces the shipped "
+        "LOCBENCH.json numbers exactly: replay seeds are fixed)",
+    )
     args = ap.parse_args()
 
     results = {}
     for track in args.tracks:
         data_path = ROOT / "data" / "localisation" / f"{track}_synth" / "racing"
-        data_path.mkdir(parents=True, exist_ok=True)
-        print(f"[{track}] recording {args.steps} sim steps ...", flush=True)
-        rec = record_track(track, args.steps, data_path)
+        if args.replay_only:
+            assert (data_path / "control.npy").exists(), (
+                f"no committed recording for {track}"
+            )
+            from acmpc_tpu.config import load_config
+
+            cfg = load_config(ROOT / "configs" / f"{track}.yaml")
+            rec = {
+                "map_path": str(ROOT / "data" / "maps" / f"{track}.npz"),
+                "cfg": cfg,
+            }
+        else:
+            data_path.mkdir(parents=True, exist_ok=True)
+            print(f"[{track}] recording {args.steps} sim steps ...", flush=True)
+            rec = record_track(track, args.steps, data_path)
         print(f"[{track}] replaying through the production filter ...", flush=True)
         results[track] = replay_track(
             track, data_path, rec["cfg"], rec["map_path"]
