@@ -66,11 +66,17 @@ def calculate_raceline(
     margin: float = 1.0,
     n_iterations: int = 3,
     regularisation: float = 1e-8,
+    return_alpha: bool = False,
 ) -> np.ndarray:
     """Minimum-curvature raceline for a closed track.
 
     centre: (N, 2) ordered closed centreline. half_width: corridor
-    half-width per point (scalar or (N,)). Returns the (N, 2) raceline.
+    half-width per point (scalar or (N,)). Returns the (N, 2) raceline,
+    or ``(raceline, alpha)`` with ``return_alpha`` — callers optimising
+    on a decimated centreline should transfer the smooth lateral offset
+    ``alpha`` onto their dense geometry rather than interpolate the
+    coarse polyline itself (chord kinks every coarse segment read as
+    phantom curvature spikes downstream).
 
     Method: parametrise the line as centre + alpha*normal, linearise the
     signed curvature kappa(alpha) ~ kappa0 + J alpha (J via jax.jacobian,
@@ -112,4 +118,7 @@ def calculate_raceline(
         s = 1.0 / jnp.maximum(jnp.max(jnp.abs(q)), 1e-12)
         sol = solve(s * P, s * q, eye, -bound, bound)
         alpha = sol.x
-    return np.asarray(centre + alpha[:, None] * normals)
+    line = np.asarray(centre + alpha[:, None] * normals)
+    if return_alpha:
+        return line, np.asarray(alpha)
+    return line

@@ -94,3 +94,43 @@ def test_shipped_segmentation_checkpoint():
     gt = mask.astype(bool)
     iou = (pred & gt).sum() / max((pred | gt).sum(), 1)
     assert iou > 0.85, f"shipped model IoU {iou:.3f}"
+
+
+@pytest.mark.parametrize("track", TRACKS + ["synth_nordschleife"])
+def test_shipped_raceline_is_not_more_curved_than_centreline(track):
+    """The minimum-curvature raceline must not read as MORE curved than
+    the centreline it optimises: build_assets once interpolated the
+    ~11 m-spaced optimised polygon linearly to 2 m, leaving a chord kink
+    at every coarse vertex whose discretised curvature (turn angle /
+    fine segment) dwarfed the track's true curvature — the speed profile
+    braked for phantom corners and the 'raceline' lapped SLOWER than the
+    centreline. The fix transfers the smooth lateral offset onto the
+    dense map geometry instead (build_assets.py::build_raceline)."""
+    from acmpc_tpu.localise.track_map import load_track_map
+
+    line = np.load(ROOT / "data" / "racelines" / f"{track}.npz")["raceline"]
+    map_path = ROOT / "data" / "maps" / f"{track}.npz"
+    if not map_path.exists():
+        map_path = ROOT / "data" / "maps" / f"{track}.npy"
+    centre = np.asarray(load_track_map(map_path).centre)
+
+    def curvature(pts):
+        d1 = np.gradient(pts, axis=0)
+        d2 = np.gradient(d1, axis=0)
+        num = np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+        den = (d1[:, 0] ** 2 + d1[:, 1] ** 2) ** 1.5
+        return num / np.maximum(den, 1e-9)
+
+    k_line = curvature(line)
+    k_centre = curvature(centre)
+    p95_line = np.percentile(k_line, 95)
+    p95_centre = np.percentile(k_centre, 95)
+    assert p95_line <= 1.1 * p95_centre, (
+        f"raceline k_p95 {p95_line:.4f} vs centre {p95_centre:.4f}"
+    )
+    # no chord-kink spikes: worst raceline curvature stays within the
+    # corridor-geometry bound of the worst centre curvature
+    assert k_line.max() <= 2.0 * max(k_centre.max(), 1e-3), (
+        f"raceline curvature spike {k_line.max():.4f} "
+        f"(centre max {k_centre.max():.4f})"
+    )

@@ -79,7 +79,19 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
 
     from acmpc_tpu.mapping.map_maker import resample_uniform
 
-    cfg = load_config(ROOT / "configs" / f"{track}.yaml")
+    cfg_path = ROOT / "configs" / f"{track}.yaml"
+    if cfg_path.exists():
+        constraints = load_config(cfg_path).racing_control.constraints
+    else:
+        # synth_nordschleife: the bench's closed-loop constraint family
+        # (bench.py::_closed_loop_mpc), v_max 32 so the shipped profile
+        # (not the sweep grid) sets the cap in full-lap comparisons
+        from acmpc_tpu.qp.speed_profile import SpeedProfileConstraints
+
+        constraints = SpeedProfileConstraints(
+            v_min=5.0, v_max=32.0, a_min=-3.0, a_max=6.0,
+            ay_max=5.5, ki_min=0.005, end_velocity=None,
+        )
     tm = load_track_map(map_path)
     centre = np.asarray(tm.centre)
     left = np.asarray(tm.left)
@@ -101,14 +113,42 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
         return outd
 
     half_width = float(np.median(min_dist(centre_ds, left)))
-    line = np.asarray(
-        calculate_raceline(
-            jnp.asarray(centre_ds, jnp.float32),
-            half_width=half_width,
-            margin=1.0,
-            n_iterations=3,
-        )
+    _, alpha_ds = calculate_raceline(
+        jnp.asarray(centre_ds, jnp.float32),
+        half_width=half_width,
+        margin=1.0,
+        n_iterations=3,
+        return_alpha=True,
     )
+    # Transfer the smooth lateral offset onto the DENSE centreline, not
+    # the coarse optimised polyline: linearly resampling an ~11 m-spaced
+    # polygon to 2 m leaves a chord kink at every coarse vertex, and the
+    # discretised curvature there (turn angle / fine segment) reads as
+    # spikes several times the track's true curvature — the speed
+    # profile braked for phantom corners and the shipped "minimum
+    # curvature" line measured MORE curved than the centreline it
+    # started from (k_p95 0.023 vs 0.009, +22 s/lap on the bench map).
+    # alpha varies over hundreds of metres, so arclength-interpolating
+    # it (plus a savgol pass to round the knot creases) and riding the
+    # dense geometry keeps the line's curvature faithful.
+    from acmpc_tpu.mapping.map_maker import savgol_wrap
+    from acmpc_tpu.utils.raceline import _unit_normals
+
+    def arc(pts):
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        return np.concatenate([[0.0], np.cumsum(seg)])
+
+    s_ds = arc(np.vstack([centre_ds, centre_ds[:1]]))
+    s_dense = arc(centre)
+    alpha_dense = np.interp(
+        s_dense * (s_ds[-1] / max(s_dense[-1], 1e-9)),
+        s_ds,
+        np.concatenate([alpha_ds, alpha_ds[:1]]),
+    )
+    window = min(2 * stride + 1, (len(alpha_dense) - 1) | 1)
+    alpha_dense = savgol_wrap(alpha_dense, window=window, closed=True)
+    normals_dense = np.asarray(_unit_normals(jnp.asarray(centre, jnp.float32)))
+    line = centre + alpha_dense[:, None] * normals_dense
     # dense 2 m arc spacing: the closed-loop tracker extracts horizon
     # windows from this polyline, and coarse spacing wrecks the
     # discretised curvature it feeds the QP
@@ -124,7 +164,6 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
     # map-scale speed profile ALONG THE RACELINE with the map overrides
     coords = np.concatenate([line, widths[:, None]], axis=1)
     path = construct_waypoints(jnp.asarray(coords, jnp.float32))
-    constraints = cfg.racing_control.constraints
     sol = solve_speed_profile(
         path.distances,
         path.kappas,
@@ -151,6 +190,12 @@ def main():
         "--quick", action="store_true",
         help="shrink every circuit to 2 km (CI smoke)",
     )
+    ap.add_argument(
+        "--racelines-only", action="store_true",
+        help="rebuild racelines + speed profiles from the EXISTING maps "
+        "(keeps the shipped map geometry, and with it every recording "
+        "and golden fixture that references it)",
+    )
     args = ap.parse_args()
 
     maps_dir = ROOT / "data" / "maps"
@@ -158,20 +203,35 @@ def main():
     maps_dir.mkdir(parents=True, exist_ok=True)
     lines_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.racelines_only and args.tracks == list(TRACKS):
+        args.tracks = list(TRACKS) + ["synth_nordschleife"]
+
     for track in args.tracks:
-        length_km, seed = TRACKS[track]
-        if args.quick:
-            length_km = 2.0
         map_path = maps_dir / f"{track}.npz"
-        built = build_map(track, length_km, seed, map_path)
+        if not map_path.exists():
+            map_path = maps_dir / f"{track}.npy"
+        if args.racelines_only:
+            assert map_path.exists(), f"no shipped map for {track}"
+        else:
+            length_km, seed = TRACKS[track]
+            if args.quick:
+                length_km = 2.0
+            map_path = maps_dir / f"{track}.npz"
+            built = build_map(track, length_km, seed, map_path)
         line, speeds = build_raceline(
             track, map_path, lines_dir / f"{track}.npz"
         )
-        print(
-            f"{track}: map {len(built['centre_track'])} pts "
-            f"({length_km:.1f} km), raceline {len(line)} pts, "
-            f"speeds [{speeds.min():.1f}, {speeds.max():.1f}] m/s"
-        )
+        if args.racelines_only:
+            print(
+                f"{track}: raceline {len(line)} pts, "
+                f"speeds [{speeds.min():.1f}, {speeds.max():.1f}] m/s"
+            )
+        else:
+            print(
+                f"{track}: map {len(built['centre_track'])} pts "
+                f"({length_km:.1f} km), raceline {len(line)} pts, "
+                f"speeds [{speeds.min():.1f}, {speeds.max():.1f}] m/s"
+            )
 
 
 if __name__ == "__main__":
