@@ -86,6 +86,12 @@ class LocalisationConfig:
     convergence_max_angle_deg: float
     collect_benchmark_observations: bool = False
     benchmark_observations_save_location: str = "data/localisation"
+    # likelihood calibration (optional YAML keys under score_distribution;
+    # defaults preserve behaviour on the reference's per-track configs
+    # while fixing the fixed-sigma miscalibration — see
+    # localise/particle_filter.py update())
+    adaptive_sigma: bool = True
+    sigma_min: float = 0.5
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LocalisationConfig":
@@ -103,6 +109,8 @@ class LocalisationConfig:
             threshold_track_limit=cfg["thresholds"]["track_limit"],
             score_mean=cfg["score_distribution"]["mean"],
             score_sigma=cfg["score_distribution"]["sigma"],
+            adaptive_sigma=cfg["score_distribution"].get("adaptive", True),
+            sigma_min=cfg["score_distribution"].get("sigma_min", 0.5),
             convergence_max_distance=cfg["convergence_criteria"][
                 "maximum_distance"
             ],

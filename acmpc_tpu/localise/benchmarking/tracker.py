@@ -28,10 +28,18 @@ class LocalisationTracker:
         self.observation_execution_times: List[float] = []
         self.step_execution_times: List[float] = []
         self._errors = {"x": [], "y": [], "yaw": []}
+        # per-step localised flags + the step index of every error sample,
+        # so the summary can split the convergence transient from
+        # steady-state tracking (the reference's single percent_localised
+        # conflates "30 s to converge from a whole-track prior" with
+        # "lost the car mid-run")
+        self._step_localised: List[bool] = []
+        self._error_steps: List[int] = []
 
     # -- per-event updates ----------------------------------------------
     def update_step(self, execution_time: float):
         self.step_execution_times.append(execution_time)
+        self._step_localised.append(bool(self._localiser.is_localised))
         self._calculate_error()
         self._n_steps += 1
         self._n_total_steps += 1
@@ -56,6 +64,7 @@ class LocalisationTracker:
             return
         est = self._localiser.estimated_position
         gt = self._current_ground_truth()
+        self._error_steps.append(self._n_total_steps)
         self._errors["x"].append(gt["x"] - est[0])
         self._errors["y"].append(gt["y"] - est[1])
         yaw_err = (gt["yaw"] - est[2] + np.pi) % (2 * np.pi) - np.pi
@@ -90,9 +99,47 @@ class LocalisationTracker:
             return 0.0
         return 100.0 * localised / self._n_total_steps
 
+    # -- transient/steady-state split (round 4) ---------------------------
+    def _first_convergence_step(self):
+        for i, loc in enumerate(self._step_localised):
+            if loc:
+                return i
+        return None
+
+    def steps_to_first_convergence(self):
+        """Steps consumed by the one-off whole-track-prior transient; None
+        if the filter never converged."""
+        return self._first_convergence_step()
+
+    def steady_state_percent_localised(self) -> float:
+        """% of steps localised AFTER first convergence — 'lost the car
+        mid-run', with the prior-search transient excluded."""
+        first = self._first_convergence_step()
+        if first is None:
+            return 0.0
+        steady = self._step_localised[first:]
+        return 100.0 * float(np.mean(steady)) if steady else 0.0
+
+    def steady_state_position_error(self) -> float:
+        """Mean |x|+|y| error over localised steps after first
+        convergence (same norm as average_position_error)."""
+        first = self._first_convergence_step()
+        if first is None or not self._errors["x"]:
+            return float("nan")
+        keep = [i for i, s in enumerate(self._error_steps) if s >= first]
+        if not keep:
+            return float("nan")
+        ex = np.abs(np.asarray(self._errors["x"])[keep])
+        ey = np.abs(np.asarray(self._errors["y"])[keep])
+        return float(np.mean(ex + ey))
+
     def summary(self) -> Dict:
+        first = self.steps_to_first_convergence()
         return {
             "percent_localised": self.percentage_of_steps_localised_for(),
+            "steps_to_first_convergence": first,
+            "steady_state_percent_localised": self.steady_state_percent_localised(),
+            "steady_state_position_error_m": self.steady_state_position_error(),
             "mean_position_error_m": self.average_position_error(),
             "mean_rotation_error_deg": float(
                 np.degrees(self.average_rotation_error())

@@ -121,7 +121,12 @@ class Localiser:
         obs = np.asarray(obs, np.float32)[:, :2]
         p = self._pf_config.max_observation_points
         if len(obs) > 1:
-            if obs[0, 1] > obs[-1, 1]:  # far-to-near input: flip
+            # orient near-to-far by comparing the mean forward coordinate
+            # of the first and last few points — a single-endpoint
+            # comparison mis-flips a hairpin whose far end curves back
+            # below the near end's y
+            k = max(1, min(5, len(obs) // 4))
+            if obs[:k, 1].mean() > obs[-k:, 1].mean():  # far-to-near: flip
                 obs = obs[::-1]
             seg = np.linalg.norm(obs[1:] - obs[:-1], axis=1)
             # resample only on a REAL density mismatch (sparse per-row

@@ -171,6 +171,14 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["perception_error"] = type(exc).__name__
 
+    # BASELINE config 4 end-to-end: frame -> mask -> limits -> centreline
+    # refit -> MPC replan, one device program per frame, closed loop for
+    # a full lap of the synthetic sim
+    try:
+        sections.update(_perception_in_loop(jax, backend))
+    except Exception as exc:  # pragma: no cover - infra flakiness
+        sections["perception_in_loop_error"] = type(exc).__name__
+
     # closed-loop lap sweep on the shipped mapping-pipeline-built circuit
     try:
         sections.update(_closed_loop_solves_per_s(backend))
@@ -387,6 +395,152 @@ def _perception_fps(jax) -> dict:
         "perception_ms_per_frame": round(1e3 * dt, 2),
         "perception_fps": round(1.0 / dt, 1),
         "perception_resolution": f"{cfg.image_width}x{cfg.image_height}",
+    }
+
+
+def _perception_in_loop(jax, backend) -> dict:
+    """BASELINE config 4, clocked end-to-end: camera frame -> FPN mask ->
+    banded track-limit extraction -> centreline refit -> horizon-50 MPC
+    replan, chained as ONE jitted device program per frame (the
+    reference's per-frame production pipeline,
+    /root/reference/src/acmpc/perception/perception.py:244-267 feeding
+    control/controller.py:226-231 — there it is two processes over shared
+    memory plus an OSQP call; here the mask and centreline never leave
+    the device between stages). Driven CLOSED LOOP around a synthetic
+    circuit with the shipped trained segmentation weights — the steering
+    the car applies comes from the masks the FPN produces — for a full
+    lap on TPU, reporting per-frame blocked latency (p50/p99), fps, solve
+    success, and how far off the centreline the car ever got."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.geometry.tracks import offset_boundaries
+    from acmpc_tpu.localise.track_map import TrackMap
+    from acmpc_tpu.perception.camera import CameraInfo
+    from acmpc_tpu.perception.perceiver import Perceiver
+    from acmpc_tpu.runtime.sim import SyntheticSimulator
+
+    on_tpu = backend != "cpu"
+    cfg = load_config(ROOT / "configs" / "monza.yaml").perception
+    # the shipped checkpoint's training camera geometry
+    # (tools/train_segmenter.py: height 1.2 m, pitch 9 deg); the FPN is
+    # fully convolutional, so on TPU inference runs at the production
+    # 1280x736 (BASELINE.md headline config). The CPU fallback drops to
+    # the training resolution and a bounded frame count so the bench
+    # still completes.
+    cfg = dataclasses.replace(
+        cfg,
+        camera_position=[0.0, 0.0, 1.2],
+        camera_pitch_deg=9.0,
+        **(
+            {}
+            if on_tpu
+            else dict(
+                image_width=320,
+                image_height=192,
+                n_rows_to_remove_bonnet=160,
+                n_polyfit_points=200,
+            )
+        ),
+    )
+    perc = Perceiver(cfg)
+    mpc = _closed_loop_mpc()
+    horizon = mpc.horizon
+
+    # asymmetric closed circuit (~1.3 km): no rotational symmetry, mixed
+    # curvature; a full lap exercises both directions of every radius
+    theta = np.linspace(0, 2 * np.pi, 1500, endpoint=False)
+    r = (
+        200.0
+        + 30.0 * np.sin(theta)
+        + 15.0 * np.sin(2 * theta)
+        + 7.0 * np.cos(5 * theta)
+    )
+    centre = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+    left, right = offset_boundaries(centre, 5.0)
+    tm = TrackMap(
+        centre=jnp.asarray(centre, jnp.float32),
+        left=jnp.asarray(left, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+    )
+    lap_m = float(
+        np.linalg.norm(np.roll(centre, -1, 0) - centre, axis=1).sum()
+    )
+    sim = SyntheticSimulator(
+        tm, CameraInfo.from_config(cfg), dt=0.05, start_index=0, half_width=5.0
+    )
+
+    n_poly = cfg.n_polyfit_points
+    ds = max(1, n_poly // horizon)
+
+    def fused(variables, state, image):
+        """The whole per-frame pipeline as one XLA program."""
+        drivable, _, tracks = perc._run_pipeline(variables, image)
+        pts = tracks["centre"][::ds][:horizon]  # static-shape downsample
+        if pts.shape[0] < horizon:  # static pad (n_poly < ds*horizon)
+            pts = jnp.concatenate(
+                [pts, jnp.repeat(pts[-1:], horizon - pts.shape[0], axis=0)]
+            )
+        # tapered corridor widths, the production control thread's refit
+        # (runtime/controller.py::_ControlThread._solve)
+        widths = jnp.linspace(10.0, 6.0, horizon, dtype=pts.dtype)
+        ref = jnp.stack([pts[:, 0], pts[:, 1], widths], axis=1)
+        new_state, diags = mpc.get_control(state, ref)
+        return new_state, diags
+
+    step = jax.jit(fused)
+    variables = perc.segmenter.variables
+    state = mpc.initial_state()
+    obs = sim.reset()
+    out, _ = step(variables, state, jnp.asarray(obs["image"]))
+    jax.block_until_ready(out.projected_control)
+
+    max_frames = 2000 if on_tpu else 40
+    times, solved, offtrack = [], 0, 0.0
+    d0, n_frames = sim.distance, 0
+    k_speed = 0.5  # host actuation: P-term on commanded speed
+    for _ in range(max_frames):
+        img = jnp.asarray(obs["image"])
+        t0 = time.perf_counter()
+        out, diags = step(variables, out, img)
+        jax.block_until_ready(out.projected_control)
+        times.append(time.perf_counter() - t0)
+        n_frames += 1
+        solved += int(out.solved)
+        v_cmd = float(out.projected_control[0, 0])
+        delta_cmd = float(out.projected_control[1, 0])
+        steering = -delta_cmd / mpc.model.vehicle.max_steering_angle
+        dv = k_speed * (v_cmd - sim.v)
+        obs = sim.step(
+            np.array([steering, max(0.0, -dv), max(0.0, min(dv, 1.0))])
+        )
+        offtrack = max(
+            offtrack,
+            float(np.linalg.norm(centre - sim.pose[:2], axis=1).min()),
+        )
+        if sim.distance - d0 >= lap_m:
+            break
+    dt_arr = np.asarray(times)
+    return {
+        "perception_in_loop_p50_ms": round(
+            1e3 * float(np.percentile(dt_arr, 50)), 2
+        ),
+        "perception_in_loop_p99_ms": round(
+            1e3 * float(np.percentile(dt_arr, 99)), 2
+        ),
+        "perception_in_loop_fps": round(
+            1.0 / max(float(np.percentile(dt_arr, 50)), 1e-9), 1
+        ),
+        "perception_in_loop_frames": n_frames,
+        "perception_in_loop_solve_success": round(solved / n_frames, 4),
+        "perception_in_loop_lap_completed": bool(
+            sim.distance - d0 >= lap_m
+        ),
+        "perception_in_loop_distance_m": round(sim.distance - d0, 1),
+        "perception_in_loop_max_offtrack_m": round(offtrack, 2),
+        "perception_in_loop_resolution": f"{cfg.image_width}x{cfg.image_height}",
     }
 
 
