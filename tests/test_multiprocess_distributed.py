@@ -23,3 +23,18 @@ def test_two_process_gloo_pod_sweep():
     # the tiny smoke grid is benign: every solve should succeed
     assert summary["success_rate"] == 1.0
     assert summary["solves_per_s"] > 0
+
+
+def test_two_process_full_lap_bounded():
+    """BASELINE config 5's pod wording — the full-lap endurance sweep
+    through the same 2-process jax.distributed path, bounded to a few
+    steps so CI stays fast (the committed FULL_LAP.json `pod_2proc`
+    section is the full 12,000-step run of this exact code path)."""
+    summary = run_two_process_smoke(
+        scenarios_per_chip=1, steps=30, full_lap=True
+    )
+    assert summary["hosts"] == 2
+    assert summary["mode"] == "full_lap"
+    assert summary["total_solves"] == summary["scenarios"] * 30
+    assert summary["solve_success_rate"] == 1.0
+    assert summary["completed_laps"] == 0  # 3 s of driving, 22 km lap
