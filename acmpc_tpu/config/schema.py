@@ -92,6 +92,10 @@ class LocalisationConfig:
     # localise/particle_filter.py update())
     adaptive_sigma: bool = True
     sigma_min: float = 0.5
+    # max cloud spread (m) below which sigma calibration may engage even
+    # before the convergence test passes (see particle_filter.py update():
+    # breaks the sharpening/convergence deadlock on smooth tracks)
+    sharpen_spread_m: float = 150.0
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LocalisationConfig":
@@ -111,6 +115,9 @@ class LocalisationConfig:
             score_sigma=cfg["score_distribution"]["sigma"],
             adaptive_sigma=cfg["score_distribution"].get("adaptive", True),
             sigma_min=cfg["score_distribution"].get("sigma_min", 0.5),
+            sharpen_spread_m=cfg["score_distribution"].get(
+                "sharpen_spread_m", 150.0
+            ),
             convergence_max_distance=cfg["convergence_criteria"][
                 "maximum_distance"
             ],

@@ -79,6 +79,7 @@ class PFConfig:
     adaptive_sigma: bool = True
     sigma_min: float = 0.5
     adaptive_sigma_scale: float = 1.5
+    sharpen_spread_m: float = 150.0  # single-basin gate for sharpening
     # -- resampling jitter floors (adaptive shrinking jitter; _resample) -
     jitter_floor_xy: float = 0.05
     jitter_floor_yaw: float = 0.004  # ~0.23 degrees
@@ -108,6 +109,7 @@ class PFConfig:
             convergence_angle=cfg.convergence_max_angle_deg * d,
             adaptive_sigma=cfg.adaptive_sigma,
             sigma_min=cfg.sigma_min,
+            sharpen_spread_m=cfg.sharpen_spread_m,
         )
 
 
@@ -303,8 +305,35 @@ class ParticleFilter:
             sigma_sharp = jnp.clip(
                 cfg.adaptive_sigma_scale * e_q, cfg.sigma_min, cfg.score_sigma
             )
+            # Sharpening gate: converged OR the whole valid cloud already
+            # sits inside one spatial basin. The alias hazard that forces
+            # the broad search sigma is CROSS-TRACK capture — aliases live
+            # hundreds of metres to kilometres apart — so once every valid
+            # particle is within sharpen_spread_m of the cloud mean, a
+            # calibrated sigma can only contract within the basin, never
+            # jump to an alias. Without this gate, smooth tracks deadlock:
+            # the broad sigma equilibrates the cloud as a ~130 m
+            # along-track worm (corners contract it, straights + jitter
+            # re-diffuse it) that never passes the 50 m convergence test,
+            # and the sharpening that would collapse it stays off forever
+            # (measured on silverstone: 0% localised over a full lap,
+            # spread pinned at ~130 m, ESS cycling at ~370/500). The gate
+            # self-reverts: if the fit degrades, validity culls or spread
+            # growth flips scoring back to the broad search sigma.
+            denom_v = jnp.maximum(n_valid, 1)
+            mu_v = (
+                jnp.sum(jnp.where(valid[:, None], locs, 0.0), axis=0) / denom_v
+            )
+            spread_v = jnp.max(
+                jnp.where(
+                    valid,
+                    jnp.linalg.norm(locs - mu_v, axis=1),
+                    0.0,
+                )
+            )
+            one_basin = spread_v < cfg.sharpen_spread_m
             sigma_eff = jnp.where(
-                state.converged, sigma_sharp, cfg.score_sigma
+                state.converged | one_basin, sigma_sharp, cfg.score_sigma
             )
         else:
             sigma_eff = jnp.asarray(cfg.score_sigma)

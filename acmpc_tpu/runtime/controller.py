@@ -126,6 +126,23 @@ class Controller:
         _, version, _ = self._command_box.read_fresh(0, timeout=timeout)
         return version > 0
 
+    @property
+    def command_version(self) -> int:
+        """Monotonic counter of published command sets."""
+        return self._command_box.version
+
+    def wait_for_command_newer_than(
+        self, version: int, timeout: float = 30.0
+    ) -> int:
+        """Block until a command set newer than ``version`` exists; returns
+        the version seen. Lockstep pacing for deterministic closed-loop
+        tests: a discrete-time sim can outrun the free-running solve
+        thread on a loaded host, leaving the car tracking a plan solved
+        for a pose hundreds of metres behind — pacing the sim on solve
+        freshness makes the e2e behaviour load-independent."""
+        _, v, _ = self._command_box.read_fresh(version, timeout=timeout)
+        return v
+
     def shutdown(self):
         if self._thread is not None:
             self._thread.stop()

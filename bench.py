@@ -163,6 +163,16 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["robustness_error"] = type(exc).__name__
 
+    # wide-tile sweep: solves/s vs batch between the headline 256 and the
+    # 4096 robustness point, so the scenario-tile VMEM-residency claim in
+    # ops/pallas_admm.py has a measured shape (VERDICT r3 item 8)
+    try:
+        sections.update(
+            _wide_tile_sweep(jax, mpc, ge, (512, 1024, 2048) if on_tpu else (64,))
+        )
+    except Exception as exc:  # pragma: no cover - infra flakiness
+        sections["wide_tile_error"] = type(exc).__name__
+
     # perception: the reference's headline inference config (FPN-ResNet18,
     # 10 classes, 1280x736, reduced precision — BASELINE.md) on the
     # SHIPPED trained checkpoint, fused with track extraction
@@ -356,6 +366,34 @@ def _robustness_batch(jax, mpc, ge, b: int) -> dict:
         sec["hbm_gb_in_use"] = round(stats["bytes_in_use"] / 2**30, 2)
         sec["hbm_gb_limit"] = round(stats["bytes_limit"] / 2**30, 2)
     return sec
+
+
+def _wide_tile_sweep(jax, mpc, ge, batches) -> dict:
+    """solves/s at each batch width between the headline 256 and the 4096
+    robustness anchor. The fused Pallas iteration kernel tiles scenarios
+    into VMEM-resident blocks; this curve shows where throughput saturates
+    and where HBM capacity starts to bound the batch."""
+    curve = {}
+    for b in batches:
+        refs = _mixed_refs(ge, b)
+        states = jax.vmap(lambda: mpc.initial_state(), axis_size=b)()
+        out = mpc.batched_get_control_fused(states, refs)[0]
+        jax.block_until_ready(out.projected_control)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = mpc.batched_get_control_fused(out, refs)[0]
+        jax.block_until_ready(out.projected_control)
+        dt = time.perf_counter() - t0
+        point = {
+            "solves_per_s": round(b * iters / dt, 1),
+            "step_ms": round(1e3 * dt / iters, 1),
+        }
+        stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+        if stats and stats.get("bytes_limit"):
+            point["hbm_gb_in_use"] = round(stats["bytes_in_use"] / 2**30, 2)
+        curve[str(b)] = point
+    return {"solves_per_s_by_batch": curve}
 
 
 def _perception_fps(jax) -> dict:

@@ -65,10 +65,17 @@ def test_agent_drives_the_synthetic_track(small_cfg):
 
         centre = np.asarray(tm.centre)
         max_offtrack = 0.0
+        # pace the sim on solve freshness so a loaded CI host (solver
+        # thread starved of cores) cannot leave the car tracking a plan
+        # solved hundreds of metres behind — a timing artefact, not a
+        # control regression
+        cmd_v = agent.controller.command_version
         for step in range(150):
             action = agent.behaviour(obs)
             assert action.shape == (3,)
             obs = sim.step(action)
+            if step % 4 == 3:
+                cmd_v = agent.controller.wait_for_command_newer_than(cmd_v)
             d = np.linalg.norm(centre - sim.pose[:2], axis=1).min()
             max_offtrack = max(max_offtrack, d)
         assert sim.distance > 50.0, f"car barely moved: {sim.distance:.1f} m"
@@ -125,8 +132,11 @@ def test_agent_drives_with_real_perception(small_cfg, tmp_path):
         d0 = sim.distance
         offtrack = 0.0
         centre = np.asarray(tm.centre)
-        for _ in range(120):
+        cmd_v = agent.controller.command_version  # lockstep pacing (above)
+        for step in range(120):
             obs = sim.step(agent.behaviour(obs))
+            if step % 4 == 3:
+                cmd_v = agent.controller.wait_for_command_newer_than(cmd_v)
             offtrack = max(
                 offtrack,
                 float(np.linalg.norm(centre - sim.pose[:2], axis=1).min()),

@@ -252,6 +252,96 @@ def test_kidnapped_filter_resets_and_recovers():
     )
 
 
+def test_spread_gated_sharpening_collapses_alongtrack_worm():
+    """The silverstone deadlock (round 4): on a smooth track the broad
+    search sigma equilibrates the cloud as a ~100 m along-track worm that
+    never passes the 50 m convergence test, and the calibrated sigma that
+    would collapse it was gated ON convergence. The fix gates sharpening
+    on the cloud already sitting inside one spatial basin
+    (sharpen_spread_m). This test seeds the worm directly on a gentle
+    circuit and drives with the PRODUCTION broad sigma=10:
+
+    - with the basin gate (default 150 m) the worm must collapse to
+      convergence within a short drive;
+    - with the gate disabled (sharpen_spread_m=0 -> old converged-only
+      behaviour) the same drive must leave the worm un-converged,
+      reproducing the measured silverstone failure (it measurably
+      DIFFUSES: spread 55 m -> ~75 m over this drive).
+    """
+    tm = make_asymmetric_map()
+    centre = np.asarray(tm.centre)
+    m = len(centre)
+    spacing = float(np.linalg.norm(centre[1] - centre[0]))
+    wheelbase, v, dt = 2.65, 20.0, 0.1
+
+    def worm_state(pf, key, idx0, half_m=50.0):
+        """All particles on the centreline within +-half_m of idx0."""
+        state = pf.reset(key)
+        half = int(half_m / spacing)
+        idx = (
+            idx0
+            + np.round(
+                np.linspace(-half, half, pf.config.n_particles)
+            ).astype(int)
+        ) % m
+        p0 = centre[idx]
+        p1 = centre[(idx + 1) % m]
+        yaw = np.arctan2(p1[:, 1] - p0[:, 1], p1[:, 0] - p0[:, 0])
+        states = jnp.asarray(
+            np.concatenate([p0, yaw[:, None]], axis=1), jnp.float32
+        )
+        return state.replace(states=states)
+
+    def drive(pf, state, idx0, n_steps):
+        update = jax.jit(pf.update)
+        predict = jax.jit(pf.predict)
+        pose = None
+        step_pts = max(1, int(round(v * dt / spacing)))
+        for k in range(n_steps):
+            i = (idx0 + k * step_pts) % m
+            p0, p1 = centre[i], centre[(i + 1) % m]
+            yaw = np.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+            pose = np.array([p0[0], p0[1], yaw], np.float32)
+            obs_l, obs_r = observation_from_pose(tm, pose)
+            ol, ml_ = _pad(obs_l, pf.config.max_observation_points)
+            orr, mr = _pad(obs_r, pf.config.max_observation_points)
+            state = update(state, ol, ml_, orr, mr)
+            i2 = (i + step_pts) % m
+            p2, p3 = centre[i2], centre[(i2 + 1) % m]
+            yaw2 = np.arctan2(p3[1] - p2[1], p3[0] - p2[0])
+            dyaw = (yaw2 - yaw + np.pi) % (2 * np.pi) - np.pi
+            delta = np.arctan(wheelbase * (dyaw / dt) / v)
+            state = predict(
+                state, jnp.float32(delta), jnp.float32(v), jnp.float32(dt)
+            )
+        return state, pose
+
+    # production-scale scoring parameters (the shipped per-track configs)
+    base = PFConfig(
+        n_particles=400,
+        n_converged_particles=400,
+        score_sigma=10.0,
+        threshold_error=20.0,
+        convergence_distance=50.0,
+    )
+
+    gated = ParticleFilter(base, tm, wheelbase=wheelbase)
+    state = worm_state(gated, jax.random.PRNGKey(7), idx0=200)
+    state, pose = drive(gated, state, 200, 120)
+    est = np.asarray(gated.estimate(state))
+    assert bool(state.converged), "basin-gated sharpening never collapsed the worm"
+    assert np.linalg.norm(est[:2] - pose[:2]) < 10.0
+
+    ungated_cfg = dataclasses.replace(base, sharpen_spread_m=0.0)
+    ungated = ParticleFilter(ungated_cfg, tm, wheelbase=wheelbase)
+    state2 = worm_state(ungated, jax.random.PRNGKey(7), idx0=200)
+    state2, _ = drive(ungated, state2, 200, 120)
+    assert not bool(state2.converged), (
+        "broad-sigma-only filter converged from the worm; the gate is no "
+        "longer load-bearing — revisit the deadlock analysis"
+    )
+
+
 def test_localiser_facade_roundtrip(tmp_path):
     tm = make_asymmetric_map()
     save_track_map(

@@ -139,9 +139,13 @@ def build_raceline(track: str, map_path: pathlib.Path, out: pathlib.Path):
         return np.concatenate([[0.0], np.cumsum(seg)])
 
     s_ds = arc(np.vstack([centre_ds, centre_ds[:1]]))
-    s_dense = arc(centre)
+    # both arclength parameterisations must cover the CLOSED loop: using
+    # the open dense arc (which omits the closing segment) phase-stretches
+    # alpha by one dense spacing with the largest offset at the seam
+    s_dense_closed = arc(np.vstack([centre, centre[:1]]))
+    s_dense = s_dense_closed[:-1]
     alpha_dense = np.interp(
-        s_dense * (s_ds[-1] / max(s_dense[-1], 1e-9)),
+        s_dense * (s_ds[-1] / max(s_dense_closed[-1], 1e-9)),
         s_ds,
         np.concatenate([alpha_ds, alpha_ds[:1]]),
     )
