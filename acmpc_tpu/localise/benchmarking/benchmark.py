@@ -44,13 +44,19 @@ class BenchmarkLocalisation:
         self.tracker = LocalisationTracker(self.localiser, gt)
         self._last_timestamp: Optional[float] = None
 
-    def run(self, visualiser=None) -> Dict:
+    def run(self, visualiser=None, max_steps: Optional[int] = None) -> Dict:
         """Replay the recording; an optional LocalisationVisualiser gets
         the reference's two update hooks (update_particles per control
         step, update_detections per observation) and can save the 9-panel
-        figure afterwards."""
+        figure afterwards. ``max_steps`` bounds the replay to the first N
+        control steps (CI uses it to keep full-lap recordings test-sized;
+        the shipped LOCBENCH numbers always replay the whole recording)."""
+        n_steps = 0
         for record in self._recording:
             if "control_command" in record:
+                if max_steps is not None and n_steps >= max_steps:
+                    break
+                n_steps += 1
                 dt = self._dt(record["time"])
                 t0 = perf_counter()
                 self.localiser.step(record["control_command"], dt=dt)

@@ -31,9 +31,17 @@ from __future__ import annotations
 
 import json
 import pathlib
+import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    """Stage markers on STDERR (stdout stays one parseable JSON line) so a
+    wall-clock-limited run is diagnosable to the section that stalled."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 
 ROOT = pathlib.Path(__file__).parent
 _FALLBACK_BASELINE = 500.0  # estimate used before baseline_cpu.json existed
@@ -117,6 +125,7 @@ def main():
     on_tpu = backend != "cpu"
     batch = 256 if on_tpu else 32
 
+    _progress(f"backend={backend} n_dev={n_dev}; compiling headline step")
     mpc = ge._make_mpc(HORIZON)
     refs = _mixed_refs(ge, batch)
     states = jax.vmap(lambda: mpc.initial_state(), axis_size=batch)()
@@ -126,6 +135,7 @@ def main():
     out = step(states, refs)
     jax.block_until_ready(out.projected_control)
 
+    _progress("headline throughput chain")
     # throughput: continuous dependent chain (host prep overlaps device)
     iters = 20
     t0 = time.perf_counter()
@@ -148,6 +158,7 @@ def main():
             continue
         latency[str(b)] = _batch_latency(jax, mpc, ge, b)
 
+    _progress("latency sweep done; precision sweep")
     sections: dict = {}
     # iteration-precision sweep: tensorfloat32 GEMVs vs Precision.HIGHEST
     # (the 6-pass bf16 emulation) — the one free MXU lever the engine
@@ -157,12 +168,14 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["precision_error"] = type(exc).__name__
 
+    _progress("robustness batch")
     # robustness batch (BASELINE config 3): 4096 scenarios in one step
     try:
         sections.update(_robustness_batch(jax, mpc, ge, 4096 if on_tpu else 64))
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["robustness_error"] = type(exc).__name__
 
+    _progress("wide-tile sweep")
     # wide-tile sweep: solves/s vs batch between the headline 256 and the
     # 4096 robustness point, so the scenario-tile VMEM-residency claim in
     # ops/pallas_admm.py has a measured shape (VERDICT r3 item 8)
@@ -173,6 +186,7 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["wide_tile_error"] = type(exc).__name__
 
+    _progress("perception fps")
     # perception: the reference's headline inference config (FPN-ResNet18,
     # 10 classes, 1280x736, reduced precision — BASELINE.md) on the
     # SHIPPED trained checkpoint, fused with track extraction
@@ -181,6 +195,7 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["perception_error"] = type(exc).__name__
 
+    _progress("perception-in-loop closed lap")
     # BASELINE config 4 end-to-end: frame -> mask -> limits -> centreline
     # refit -> MPC replan, one device program per frame, closed loop for
     # a full lap of the synthetic sim
@@ -189,12 +204,14 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["perception_in_loop_error"] = type(exc).__name__
 
+    _progress("closed-loop lap sweep")
     # closed-loop lap sweep on the shipped mapping-pipeline-built circuit
     try:
         sections.update(_closed_loop_solves_per_s(backend))
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["closed_loop_error"] = type(exc).__name__
 
+    _progress("raceline closed loop")
     # closed loop TRACKING THE SHIPPED RACELINE (BASELINE config 1): same
     # map, the minimum-curvature line + its corridor widths as the
     # reference path — the speed uplift over centreline tracking is the
@@ -205,6 +222,7 @@ def main():
     except Exception as exc:  # pragma: no cover - infra flakiness
         sections["raceline_error"] = type(exc).__name__
 
+    _progress("flop accounting")
     # arithmetic-intensity context for the throughput claim: analytic
     # useful FLOPs per solve (GEMV iteration chain + block factorisation)
     # — small-QP ADMM is GEMV-bound, so MFU is intrinsically low and

@@ -27,7 +27,7 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
-def _replay(track: str) -> dict:
+def _replay(track: str, max_steps=None) -> dict:
     from acmpc_tpu.config import load_config
     from acmpc_tpu.localise.benchmarking import BenchmarkLocalisation
 
@@ -42,17 +42,18 @@ def _replay(track: str) -> dict:
         vehicle=cfg.vehicle,
         seed=0,
     )
-    return bench.run()
+    return bench.run(max_steps=max_steps)
 
 
 def test_committed_monza_recording_reproduces_shipped_numbers():
+    track = "monza"
     shipped_all = json.loads((ROOT / "LOCBENCH.json").read_text())["tracks"]
-    assert "monza" in shipped_all, "LOCBENCH.json lost its monza entry"
-    shipped = shipped_all["monza"]
+    assert track in shipped_all, f"LOCBENCH.json lost its {track} entry"
+    shipped = shipped_all[track]
     if "steady_state_position_error_m" not in shipped:
         pytest.skip("LOCBENCH.json predates the r4 transient/steady split")
 
-    got = _replay("monza")
+    got = _replay(track)
     assert got["n_steps"] == shipped["n_steps"]
     assert got["n_observations"] == shipped["n_observations"]
     # steady state must stay metre-grade and continuously localised
@@ -76,3 +77,19 @@ def test_committed_monza_recording_reproduces_shipped_numbers():
     assert (
         abs(got["percent_localised"] - shipped["percent_localised"]) < 10.0
     ), got
+
+
+def test_committed_silverstone_recording_converges_through_the_gate():
+    """Silverstone is the spread-gate-sensitive track: without the
+    single-basin sharpening gate (particle_filter.py update()) its replay
+    records 0% localised for the WHOLE lap, so a bounded replay of the
+    committed recording guards that fix specifically. The shipped
+    LOCBENCH.json silverstone numbers come from the full-lap replay
+    (steps_to_first_convergence 628, steady-state 100% at 1.6 m); the
+    cap keeps the suite fast while still covering convergence plus a
+    steady-state window ~3x the transient."""
+    got = _replay("silverstone", max_steps=2000)
+    assert got["steps_to_first_convergence"] is not None, got
+    assert got["steps_to_first_convergence"] < 1500, got
+    assert got["steady_state_percent_localised"] > 90.0, got
+    assert got["steady_state_position_error_m"] < 3.0, got

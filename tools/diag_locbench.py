@@ -37,9 +37,13 @@ def main(track: str):
     from acmpc_tpu.localise.localiser import Localiser
     from acmpc_tpu.localise.track_map import load_track_map
 
-    data_path = ROOT / "data" / "localisation" / f"{track}_synth" / "racing"
-    map_path = ROOT / "data" / "maps" / f"{track}.npz"
-    cfg = load_config(ROOT / "configs" / f"{track}.yaml")
+    # accept bare track names (oracle recordings, "<track>_synth") or a
+    # full recording directory name like "monza_realperc"
+    rec_dir = track if "_" in track else f"{track}_synth"
+    base = track.split("_")[0]
+    data_path = ROOT / "data" / "localisation" / rec_dir / "racing"
+    map_path = ROOT / "data" / "maps" / f"{base}.npz"
+    cfg = load_config(ROOT / "configs" / f"{base}.yaml")
     rec = LocalisationRecording(str(data_path))
     tm = load_track_map(map_path)
     centre = np.asarray(tm.centre)
