@@ -96,6 +96,10 @@ class LocalisationConfig:
     # before the convergence test passes (see particle_filter.py update():
     # breaks the sharpening/convergence deadlock on smooth tracks)
     sharpen_spread_m: float = 150.0
+    # score a third curve against the map centreline (midpoint of
+    # index-aligned boundary pairs — averages per-boundary extraction
+    # noise; the reference keeps a centre KD-tree, localiser.py:645-650)
+    score_centreline: bool = False
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LocalisationConfig":
@@ -117,6 +121,9 @@ class LocalisationConfig:
             sigma_min=cfg["score_distribution"].get("sigma_min", 0.5),
             sharpen_spread_m=cfg["score_distribution"].get(
                 "sharpen_spread_m", 150.0
+            ),
+            score_centreline=cfg["score_distribution"].get(
+                "centreline", False
             ),
             convergence_max_distance=cfg["convergence_criteria"][
                 "maximum_distance"

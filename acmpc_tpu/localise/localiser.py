@@ -94,10 +94,52 @@ class Localiser:
 
     def observe_tracklimits(self, left: np.ndarray, right: np.ndarray):
         """Score particles against a BEV track-limit observation — the
-        reference's _score_particles path (localiser.py:227, 234-239)."""
-        ol, ml, sl = self._prepare(left)
-        orr, mr, sr = self._prepare(right)
-        self._state = self._update(self._state, ol, ml, orr, mr, sl, sr)
+        reference's _score_particles path (localiser.py:227, 234-239).
+
+        When ``score_centreline`` is on, a third curve is scored against
+        the map centreline (the reference keeps a centre KD-tree too,
+        localiser.py:645-650): the observation is the midpoint of
+        boundary pairs aligned in map-index space (point i of the left
+        polyline sits ``sl + i`` map spacings ahead of the car, point j
+        of the right ``sr + j``; pairs share a forward index), so it
+        averages the two boundaries' independent extraction noise."""
+        ln, sl = self._normalise(left)
+        rn, sr = self._normalise(right)
+        ol, ml = self._pad(ln)
+        orr, mr = self._pad(rn)
+        if self._pf_config.score_centreline:
+            k0 = max(sl, sr)
+            n = min(len(ln) - (k0 - sl), len(rn) - (k0 - sr))
+            if n >= 2:
+                cen = 0.5 * (
+                    ln[k0 - sl : k0 - sl + n] + rn[k0 - sr : k0 - sr + n]
+                )
+                oc, mcm = self._pad(cen)
+            else:  # no aligned overlap this frame: empty third curve
+                oc, mcm = self._pad(np.zeros((0, 2), np.float32))
+                k0 = 0
+            self._state = self._update(
+                self._state,
+                ol,
+                ml,
+                orr,
+                mr,
+                jnp.asarray(sl, jnp.int32),
+                jnp.asarray(sr, jnp.int32),
+                obs_centre=oc,
+                obs_centre_mask=mcm,
+                centre_start=jnp.asarray(k0, jnp.int32),
+            )
+        else:
+            self._state = self._update(
+                self._state,
+                ol,
+                ml,
+                orr,
+                mr,
+                jnp.asarray(sl, jnp.int32),
+                jnp.asarray(sr, jnp.int32),
+            )
 
     # -- helpers ---------------------------------------------------------
     def _prepare(self, obs: np.ndarray):
@@ -118,6 +160,13 @@ class Localiser:
         step to add to the slice start makes the same point-for-point
         error the reference computes start from the first VISIBLE map
         point instead."""
+        obs, start = self._normalise(obs)
+        padded, mask = self._pad(obs)
+        return padded, mask, jnp.asarray(start, jnp.int32)
+
+    def _normalise(self, obs: np.ndarray) -> tuple[np.ndarray, int]:
+        """Orientation + arclength resampling + visible-start measurement
+        (the numpy half of ``_prepare``; see its docstring)."""
         obs = np.asarray(obs, np.float32)[:, :2]
         p = self._pf_config.max_observation_points
         if len(obs) > 1:
@@ -152,15 +201,16 @@ class Localiser:
             if len(obs)
             else 0
         )
+        return obs, start
+
+    def _pad(self, obs: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        p = self._pf_config.max_observation_points
+        obs = np.asarray(obs, np.float32)[:p]
         padded = np.zeros((p, 2), np.float32)
         mask = np.zeros((p,), bool)
         padded[: len(obs)] = obs
         mask[: len(obs)] = True
-        return (
-            jnp.asarray(padded),
-            jnp.asarray(mask),
-            jnp.asarray(start, jnp.int32),
-        )
+        return jnp.asarray(padded), jnp.asarray(mask)
 
     # exposed for benchmarking / diagnostics
     @property

@@ -80,6 +80,12 @@ class PFConfig:
     sigma_min: float = 0.5
     adaptive_sigma_scale: float = 1.5
     sharpen_spread_m: float = 150.0  # single-basin gate for sharpening
+    # score against the map centreline as a third curve (the reference
+    # keeps 3 KD-trees — left/right/centre, localiser.py:645-650 — but
+    # scores limits only; the centre observation is the midpoint of
+    # index-aligned boundary pairs, so it averages the extraction's
+    # per-boundary noise and adds an independent pairing constraint)
+    score_centreline: bool = False
     # -- resampling jitter floors (adaptive shrinking jitter; _resample) -
     jitter_floor_xy: float = 0.05
     jitter_floor_yaw: float = 0.004  # ~0.23 degrees
@@ -110,6 +116,7 @@ class PFConfig:
             adaptive_sigma=cfg.adaptive_sigma,
             sigma_min=cfg.sigma_min,
             sharpen_spread_m=cfg.sharpen_spread_m,
+            score_centreline=cfg.score_centreline,
         )
 
 
@@ -190,6 +197,9 @@ class ParticleFilter:
         obs_right_mask: jnp.ndarray,
         left_start: jnp.ndarray | int = 0,  # slice-start offset (indices)
         right_start: jnp.ndarray | int = 0,
+        obs_centre: jnp.ndarray | None = None,  # (P, 2) optional 3rd curve
+        obs_centre_mask: jnp.ndarray | None = None,
+        centre_start: jnp.ndarray | int = 0,
     ) -> PFState:
         """Score particles against a track-limit observation, threshold,
         resample/reset (reference _score_particles, localiser.py:234-239).
@@ -233,8 +243,18 @@ class ParticleFilter:
             [jnp.stack([cos, sin], -1), jnp.stack([-sin, cos], -1)], -2
         )  # (N, 2, 2) — transpose of R(angle)
 
-        obs = jnp.concatenate([obs_left, obs_right], axis=0)  # (2P, 2)
-        obs_mask = jnp.concatenate([obs_left_mask, obs_right_mask], axis=0)
+        use_centre = obs_centre is not None  # static: two jit variants
+        if use_centre:
+            obs_centre_mask = obs_centre_mask & (
+                obs_centre[:, 1] < cfg.observation_forward_limit
+            )
+            obs = jnp.concatenate([obs_left, obs_right, obs_centre], axis=0)
+            obs_mask = jnp.concatenate(
+                [obs_left_mask, obs_right_mask, obs_centre_mask], axis=0
+            )
+        else:
+            obs = jnp.concatenate([obs_left, obs_right], axis=0)  # (2P, 2)
+            obs_mask = jnp.concatenate([obs_left_mask, obs_right_mask], axis=0)
         obs_world = (
             jnp.einsum("nij,pj->npi", rot, obs) + locs[:, None, :]
         )  # (N, 2P, 2)
@@ -250,7 +270,17 @@ class ParticleFilter:
         right_slice = self.map.right[
             jnp.mod(right_idx[:, None] + right_start + seq[None, :], mr)
         ]
-        limits = jnp.concatenate([left_slice, right_slice], axis=1)  # (N, 2P, 2)
+        if use_centre:
+            centre_slice = self.map.centre[
+                jnp.mod(centre_idx[:, None] + centre_start + seq[None, :], mc)
+            ]
+            limits = jnp.concatenate(
+                [left_slice, right_slice, centre_slice], axis=1
+            )  # (N, 3P, 2)
+        else:
+            limits = jnp.concatenate(
+                [left_slice, right_slice], axis=1
+            )  # (N, 2P, 2)
 
         err = jnp.linalg.norm(obs_world - limits, axis=2)  # (N, 2P)
         denom = jnp.maximum(jnp.sum(obs_mask), 1)

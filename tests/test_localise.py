@@ -342,12 +342,22 @@ def test_spread_gated_sharpening_collapses_alongtrack_worm():
     )
 
 
-def test_localiser_facade_roundtrip(tmp_path):
+@pytest.mark.parametrize("centreline", [False, True])
+def test_localiser_facade_roundtrip(tmp_path, centreline):
+    """With ``centreline=True`` the gated third-curve scoring path (map
+    centreline vs midpoint of index-aligned boundary pairs) must localise
+    as well as the boundary-only default on a clean observation stream —
+    measured equal on the committed oracle recordings (1.444 vs 1.436 m
+    on monza_synth; docs/LOCALISATION.md records why it is default-OFF:
+    on noisy real perception the midpoint inherits the boundaries'
+    correlated near-field bias at lower variance and deepens the wrong
+    along-track lock)."""
     tm = make_asymmetric_map()
     save_track_map(
         tmp_path / "map.npz", tm.centre, tm.left, tm.right
     )
     cfg = LocalisationConfig(
+        score_centreline=centreline,
         use_localisation=True,
         n_particles=400,
         n_converged_particles=400,
