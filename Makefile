@@ -3,11 +3,14 @@
 
 .PHONY: test test-fast bench native lint clean
 
+# FULL suite, both tiers (-m "" overrides the default "-m 'not slow'"
+# in pyproject.toml)
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m ""
 
+# default quick tier only (same as a bare `pytest tests/ -q`)
 test-fast:
-	python -m pytest tests/ -q -x --ignore=tests/test_agent_e2e.py
+	python -m pytest tests/ -q
 
 bench:
 	python bench.py

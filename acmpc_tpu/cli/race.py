@@ -29,6 +29,15 @@ def parse_arguments():
     parser.add_argument(
         "--dashboard", action="store_true", help="serve the MJPEG dashboard"
     )
+    parser.add_argument(
+        "--remote",
+        default=None,
+        metavar="HOST:PORT",
+        help="drive an EXTERNAL simulator process served by "
+        "`python -m acmpc_tpu.runtime.sim_bridge` instead of the "
+        "in-process synthetic sim; command timing then runs on the "
+        "wall clock (the real-time-game configuration)",
+    )
     return parser.parse_args()
 
 
@@ -43,8 +52,14 @@ def main():
     cfg = load_config(args.config)
     map_path = args.map or cfg.map_path
     track_map = load_track_map(map_path)
-    camera = CameraInfo.from_config(cfg.perception)
-    sim = SyntheticSimulator(track_map, camera)
+    if args.remote:
+        from acmpc_tpu.runtime.sim_bridge import RemoteSimulator
+
+        host, _, port = args.remote.rpartition(":")
+        sim = RemoteSimulator(host or "127.0.0.1", int(port))
+    else:
+        camera = CameraInfo.from_config(cfg.perception)
+        sim = SyntheticSimulator(track_map, camera)
     agent = Agent(
         cfg,
         sim,

@@ -40,6 +40,16 @@ class Localiser:
             track_map = load_track_map(track_map)
         self._vehicle = vehicle or VehicleParams()
         self._pf_config = PFConfig.from_config(cfg)
+        if self._pf_config.score_centreline:
+            import warnings
+
+            warnings.warn(
+                "localisation.score_distribution.centreline is enabled: "
+                "measured to DEGRADE real-perception accuracy up to ~8x "
+                "(see docs/LOCALISATION.md, 'Third-curve scoring'); it is "
+                "shipped default-off for a reason.",
+                stacklevel=2,
+            )
         self._pf = ParticleFilter(
             self._pf_config, track_map, wheelbase=self._vehicle.wheelbase
         )

@@ -257,7 +257,7 @@ class ParticleFilter:
             obs_mask = jnp.concatenate([obs_left_mask, obs_right_mask], axis=0)
         obs_world = (
             jnp.einsum("nij,pj->npi", rot, obs) + locs[:, None, :]
-        )  # (N, 2P, 2)
+        )  # (N, 2P, 2) — or (N, 3P, 2) in the use_centre jit variant
 
         # wrap-indexed boundary slices matched point-for-point
         # (localiser.py:391-400)
@@ -282,7 +282,7 @@ class ParticleFilter:
                 [left_slice, right_slice], axis=1
             )  # (N, 2P, 2)
 
-        err = jnp.linalg.norm(obs_world - limits, axis=2)  # (N, 2P)
+        err = jnp.linalg.norm(obs_world - limits, axis=2)  # (N, 2P or 3P)
         denom = jnp.maximum(jnp.sum(obs_mask), 1)
         mean_err = jnp.sum(err * obs_mask[None, :], axis=1) / denom
 

@@ -1,7 +1,21 @@
 """Benchmark: MPC solves/s per chip at full racing horizon (H=50).
 
-Prints ONE JSON line:
+Prints JSON result lines to stdout; the LAST line is the complete
+result (earlier lines are incremental snapshots of the same object, so
+a wall-clock kill still leaves a parseable result with everything
+measured so far):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Wall-clock discipline (round-4 postmortem: the bench overran the
+driver's budget and emitted nothing):
+  - persistent XLA compile cache (same dir the agent uses,
+    acmpc_tpu/runtime/agent.py) so repeat runs skip the multi-minute
+    headline compile;
+  - a global deadline (env BENCH_DEADLINE_S, default 900 s) after which
+    remaining optional stages are skipped and listed in
+    "skipped_stages";
+  - the headline+latency JSON line is emitted the moment it exists and
+    re-emitted after every completed stage.
 
 Sections (all on-device, one chip):
   - throughput: B=256 scenario batch as one jitted program (the TPU-native
@@ -30,6 +44,7 @@ QP solver speed); the faithful full loop measured ~101 solves/s.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -45,6 +60,41 @@ def _progress(msg: str) -> None:
 
 ROOT = pathlib.Path(__file__).parent
 _FALLBACK_BASELINE = 500.0  # estimate used before baseline_cpu.json existed
+
+# Global wall-clock budget. The driver kills the bench hard at an
+# unknown wall clock (round 4: ~23 min, rc=124, zero output); default
+# to finishing well inside that with slack for a cold-cache compile.
+_START = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+
+
+def _remaining_s() -> float:
+    return _DEADLINE_S - (time.monotonic() - _START)
+
+
+def _emit(result: dict) -> None:
+    """Print the current result object as one JSON line. Called after
+    every completed stage: the last line on stdout is the full result,
+    and any earlier line is a valid snapshot if the process is killed."""
+    print(json.dumps(result), flush=True)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (shared with the agent runtime,
+    acmpc_tpu/runtime/agent.py): the headline B=256 fused step took 10
+    minutes to compile cold through the TPU tunnel in round 4 — cached,
+    it loads in seconds."""
+    import jax
+
+    for key, val in (
+        ("jax_compilation_cache_dir", "/tmp/acmpc_jit_cache"),
+        ("jax_persistent_cache_min_compile_time_secs", 1.0),
+        ("jax_persistent_cache_min_entry_size_bytes", 0),
+    ):
+        try:
+            jax.config.update(key, val)
+        except Exception:
+            pass
 
 
 def _cpu_baseline_solves_per_s() -> tuple[float, str]:
@@ -118,6 +168,8 @@ def main():
 
     import jax
 
+    _enable_compile_cache()
+
     import __graft_entry__ as ge
 
     backend = jax.default_backend()
@@ -158,83 +210,6 @@ def main():
             continue
         latency[str(b)] = _batch_latency(jax, mpc, ge, b)
 
-    _progress("latency sweep done; precision sweep")
-    sections: dict = {}
-    # iteration-precision sweep: tensorfloat32 GEMVs vs Precision.HIGHEST
-    # (the 6-pass bf16 emulation) — the one free MXU lever the engine
-    # ships but round 2 never measured
-    try:
-        sections.update(_precision_sweep(jax, ge, batch, refs))
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["precision_error"] = type(exc).__name__
-
-    _progress("robustness batch")
-    # robustness batch (BASELINE config 3): 4096 scenarios in one step
-    try:
-        sections.update(_robustness_batch(jax, mpc, ge, 4096 if on_tpu else 64))
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["robustness_error"] = type(exc).__name__
-
-    _progress("wide-tile sweep")
-    # wide-tile sweep: solves/s vs batch between the headline 256 and the
-    # 4096 robustness point, so the scenario-tile VMEM-residency claim in
-    # ops/pallas_admm.py has a measured shape (VERDICT r3 item 8)
-    try:
-        sections.update(
-            _wide_tile_sweep(jax, mpc, ge, (512, 1024, 2048) if on_tpu else (64,))
-        )
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["wide_tile_error"] = type(exc).__name__
-
-    _progress("perception fps")
-    # perception: the reference's headline inference config (FPN-ResNet18,
-    # 10 classes, 1280x736, reduced precision — BASELINE.md) on the
-    # SHIPPED trained checkpoint, fused with track extraction
-    try:
-        sections.update(_perception_fps(jax))
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["perception_error"] = type(exc).__name__
-
-    _progress("perception-in-loop closed lap")
-    # BASELINE config 4 end-to-end: frame -> mask -> limits -> centreline
-    # refit -> MPC replan, one device program per frame, closed loop for
-    # a full lap of the synthetic sim
-    try:
-        sections.update(_perception_in_loop(jax, backend))
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["perception_in_loop_error"] = type(exc).__name__
-
-    _progress("closed-loop lap sweep")
-    # closed-loop lap sweep on the shipped mapping-pipeline-built circuit
-    try:
-        sections.update(_closed_loop_solves_per_s(backend))
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["closed_loop_error"] = type(exc).__name__
-
-    _progress("raceline closed loop")
-    # closed loop TRACKING THE SHIPPED RACELINE (BASELINE config 1): same
-    # map, the minimum-curvature line + its corridor widths as the
-    # reference path — the speed uplift over centreline tracking is the
-    # raceline's value, measured in closed loop (the reference's raceline
-    # tool is offline-only and never drives)
-    try:
-        sections.update(_raceline_closed_loop(backend))
-    except Exception as exc:  # pragma: no cover - infra flakiness
-        sections["raceline_error"] = type(exc).__name__
-
-    _progress("flop accounting")
-    # arithmetic-intensity context for the throughput claim: analytic
-    # useful FLOPs per solve (GEMV iteration chain + block factorisation)
-    # — small-QP ADMM is GEMV-bound, so MFU is intrinsically low and
-    # latency/solves-per-s is the product metric; this line keeps the
-    # headline honest about how far from the MXU ceiling it runs
-    _, diags = mpc.batched_get_control_fused(out, refs)
-    mean_iters = float(np.mean(np.asarray(diags.control_iterations)))
-    flop = _flop_per_solve(mpc, mean_iters)
-    sections["mean_admm_iterations"] = round(mean_iters, 1)
-    sections["flop_per_solve_m"] = round(flop / 1e6, 1)
-    sections["achieved_gflop_per_s"] = round(per_chip * flop / 1e9, 2)
-
     result = {
         "metric": f"mpc_solves_per_s_per_chip_h{HORIZON}",
         "value": round(per_chip, 2),
@@ -251,11 +226,81 @@ def main():
             k: {"p50": v[0], "p99": v[1], "device": v[2]}
             for k, v in sorted(latency.items(), key=lambda kv: int(kv[0]))
         },
-        **sections,
+        "headline_elapsed_s": round(time.monotonic() - _START, 1),
     }
     if tpu_unreachable:
         result["tpu_unreachable"] = True
-    print(json.dumps(result))
+    _progress("latency sweep done; emitting headline snapshot")
+    _emit(result)
+
+    # flop accounting (cheap, do it before any skippable stage):
+    # arithmetic-intensity context for the throughput claim — small-QP
+    # ADMM is GEMV-bound, so MFU is intrinsically low and
+    # latency/solves-per-s is the product metric; this keeps the
+    # headline honest about how far from the MXU ceiling it runs
+    _, diags = mpc.batched_get_control_fused(out, refs)
+    mean_iters = float(np.mean(np.asarray(diags.control_iterations)))
+    flop = _flop_per_solve(mpc, mean_iters)
+    result["mean_admm_iterations"] = round(mean_iters, 1)
+    result["flop_per_solve_m"] = round(flop / 1e6, 1)
+    result["achieved_gflop_per_s"] = round(per_chip * flop / 1e9, 2)
+
+    # Optional stages: (name, estimated cost in s, thunk). Each runs only
+    # if the remaining budget covers its estimate; skipped stages are
+    # recorded. Ordered by value-per-second: the cheap device sweeps
+    # first, the multi-minute closed-loop laps last.
+    stages = [
+        # iteration-precision sweep: tf32 GEMVs vs Precision.HIGHEST
+        # (6-pass bf16 emulation) — the one free MXU lever
+        ("precision", 90, lambda: _precision_sweep(jax, ge, batch, refs)),
+        # BASELINE config 3: 4096 perturbed scenarios in one step
+        (
+            "robustness",
+            90,
+            lambda: _robustness_batch(jax, mpc, ge, 4096 if on_tpu else 64),
+        ),
+        # solves/s vs batch between headline 256 and the 4096 anchor —
+        # the VMEM scenario-tile residency claim, measured
+        (
+            "wide_tile",
+            150,
+            lambda: _wide_tile_sweep(
+                jax, mpc, ge, (512, 1024, 2048) if on_tpu else (64,)
+            ),
+        ),
+        # FPN-ResNet18 1280x736 on shipped weights, fused w/ extraction
+        ("perception", 120, lambda: _perception_fps(jax)),
+        # closed-loop lap sweep on the shipped 22 km mapped circuit
+        ("closed_loop", 180, lambda: _closed_loop_solves_per_s(backend)),
+        # BASELINE config 1: shipped raceline vs centreline, closed loop
+        ("raceline", 240, lambda: _raceline_closed_loop(backend)),
+        # BASELINE config 4: frame->mask->limits->refit->replan, one
+        # device program per frame, a full closed lap with real weights
+        ("perception_in_loop", 300, lambda: _perception_in_loop(jax, backend)),
+    ]
+    skipped: list[str] = []
+    result["skipped_stages"] = skipped
+    for name, est_s, thunk in stages:
+        if _remaining_s() < est_s:
+            _progress(
+                f"SKIP {name}: {_remaining_s():.0f}s left < {est_s}s estimate"
+            )
+            skipped.append(name)
+            continue
+        _progress(f"stage {name} ({_remaining_s():.0f}s left)")
+        t0 = time.monotonic()
+        try:
+            result.update(thunk())
+        except Exception as exc:  # pragma: no cover - infra flakiness
+            result[f"{name}_error"] = type(exc).__name__
+        result.setdefault("stage_s", {})[name] = round(
+            time.monotonic() - t0, 1
+        )
+        _emit(result)
+
+    result["total_elapsed_s"] = round(time.monotonic() - _START, 1)
+    _progress("done")
+    _emit(result)
 
 
 def _blocked_latency(run, n: int = 10) -> tuple[float, float]:
