@@ -100,6 +100,16 @@ class LocalisationConfig:
     # index-aligned boundary pairs — averages per-boundary extraction
     # noise; the reference keeps a centre KD-tree, localiser.py:645-650)
     score_centreline: bool = False
+    # observation-guided (re)seeding (optional YAML block `seeding:`;
+    # round-5 time-to-first-fix — see particle_filter._seeded_reset)
+    seed_from_observation: bool = True
+    seed_max_candidates: int = 4096
+    seed_sigma: float = 5.0
+    seed_uniform_fraction: float = 0.2
+    # fit-quality gate on the localised flag (optional YAML key
+    # convergence_criteria.maximum_fit_error; 0 disables — round-5
+    # over-confidence fix, particle_filter._update_convergence)
+    localised_max_error: float = 0.0
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LocalisationConfig":
@@ -131,6 +141,19 @@ class LocalisationConfig:
             convergence_max_angle_deg=cfg["convergence_criteria"][
                 "maximum_angle"
             ],
+            localised_max_error=cfg["convergence_criteria"].get(
+                "maximum_fit_error", 0.0
+            ),
+            seed_from_observation=cfg.get("seeding", {}).get(
+                "from_observation", True
+            ),
+            seed_max_candidates=cfg.get("seeding", {}).get(
+                "max_candidates", 4096
+            ),
+            seed_sigma=cfg.get("seeding", {}).get("sigma", 5.0),
+            seed_uniform_fraction=cfg.get("seeding", {}).get(
+                "uniform_fraction", 0.2
+            ),
             collect_benchmark_observations=cfg.get(
                 "collect_benchmark_observations", False
             ),

@@ -141,12 +141,25 @@ def test_population_collapse_triggers_reset():
     cfg = dataclasses.replace(CFG, threshold_error=0.01)  # impossible bar
     pf = ParticleFilter(cfg, tm)
     state = pf.reset(jax.random.PRNGKey(2))
-    # garbage observation -> all particles invalid -> reset
+    # garbage observation -> all particles invalid -> reset. The
+    # observation-guided reseed falls back to a uniform candidate draw
+    # (no candidate fits garbage) with sampling-noise jitter, so the
+    # population lands near — not exactly on — the centreline.
     P = cfg.max_observation_points
     obs = jnp.ones((P, 2), jnp.float32) * 1e3
     mask = jnp.ones((P,), bool)
     new = jax.jit(pf.update)(state, obs, mask, obs, mask)
-    # reset re-seeds every particle on the centreline
+    d, _ = nearest_point(new.states[:, :2], tm.centre)
+    assert float(jnp.max(d)) < 6.0  # ~4.5 sigma of the 1.1 m jitter
+    assert bool(new.valid.all())
+    assert bool(new.seeded)
+
+    # blind-reset path (reference localiser.py:468-484 semantics): exact
+    # centreline re-seed when observation-guided seeding is disabled
+    cfg_blind = dataclasses.replace(cfg, seed_from_observation=False)
+    pf_blind = ParticleFilter(cfg_blind, tm)
+    state = pf_blind.reset(jax.random.PRNGKey(2))
+    new = jax.jit(pf_blind.update)(state, obs, mask, obs, mask)
     d, _ = nearest_point(new.states[:, :2], tm.centre)
     assert float(jnp.max(d)) < 1.0
     assert bool(new.valid.all())
@@ -166,8 +179,17 @@ def test_kidnapped_filter_resets_and_recovers():
     (straight-tangent particle motion vs chord-walking truth), which the
     weakly-observable along-track dof cannot absorb."""
     tm = make_asymmetric_map()
+    # threshold_error 3.0: the displaced cloud pairs old terrain at
+    # 3.4-3.9 m on this circuit — the bar must sit below that band for
+    # driving to cull it. localised_max_error 2.5 (the round-5 fit gate):
+    # the flag must drop while the kidnapped cloud still pairs poorly,
+    # not keep claiming convergence on spread alone.
     cfg = dataclasses.replace(
-        CFG, score_sigma=1.0, threshold_error=4.0, convergence_distance=30.0
+        CFG,
+        score_sigma=1.0,
+        threshold_error=3.0,
+        convergence_distance=30.0,
+        localised_max_error=2.5,
     )
     wheelbase = 2.65
     pf = ParticleFilter(cfg, tm, wheelbase=wheelbase)
@@ -290,7 +312,9 @@ def test_spread_gated_sharpening_collapses_alongtrack_worm():
         states = jnp.asarray(
             np.concatenate([p0, yaw[:, None]], axis=1), jnp.float32
         )
-        return state.replace(states=states)
+        # seeded=True: this test hand-builds the worm population; the
+        # first-observation seeded reset would replace it
+        return state.replace(states=states, seeded=jnp.asarray(True))
 
     def drive(pf, state, idx0, n_steps):
         update = jax.jit(pf.update)
@@ -510,6 +534,8 @@ def test_prepare_aligns_sparse_far_to_near_observation():
         states=jnp.asarray(states),
         scores=jnp.full((8,), 1.0 / 8),
         valid=jnp.ones((8,), bool),
+        # hand-built decoy population: skip the observation-guided seed
+        seeded=jnp.asarray(True),
     )
     orr, mr, s0r = loc._prepare(sparsify(full_r))
     new = pf.update(state, ol, ml, orr, mr, s0, s0r)

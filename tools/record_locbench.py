@@ -170,6 +170,59 @@ def replay_track(
     return out
 
 
+def replay_track_reference(
+    track: str, data_path: pathlib.Path, map_path, vehicle, seed: int = 0
+) -> dict:
+    """Replay the SAME committed recording through the REFERENCE's
+    particle filter (/root/reference/src/acmpc/localisation/
+    localiser.py:132-661, run in place via tools/reference_bridge.py with
+    its external deps stubbed), scored by the same tracker — the
+    apples-to-apples baseline column VERDICT r4 asked for."""
+    import tempfile
+    from time import perf_counter
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    import reference_bridge
+
+    from acmpc_tpu.config.schema import load_raw
+    from acmpc_tpu.localise.benchmarking.recording import LocalisationRecording
+    from acmpc_tpu.localise.benchmarking.tracker import LocalisationTracker
+
+    raw = load_raw(ROOT / "configs" / "benchmarks" / f"{track}.yaml")
+    tmp = tempfile.mkdtemp(prefix=f"refmap_{track}_")
+    ref_map = reference_bridge.export_reference_map(
+        map_path, pathlib.Path(tmp) / "map.npy"
+    )
+    np.random.seed(seed)
+    loc = reference_bridge.build_reference_localiser(
+        raw["localisation"], ref_map, vehicle
+    )
+    recording = LocalisationRecording(str(data_path))
+    gt = [r["game_pose"][0] for r in recording if "game_pose" in r]
+    tracker = LocalisationTracker(loc, gt)
+    skipped = 0
+    for record in recording:
+        if "control_command" in record:
+            t0 = perf_counter()
+            loc.step_particles(record)
+            tracker.update_step(perf_counter() - t0)
+        elif "tracklimits" in record:
+            obs = record["tracklimits"]
+            left = np.asarray(obs["left"], np.float64)
+            right = np.asarray(obs["right"], np.float64)
+            if len(left) < 3 or len(right) < 3:
+                # the reference's downsampler divides by the mean
+                # point spacing — degenerate frames would crash it
+                skipped += 1
+                continue
+            t0 = perf_counter()
+            loc.score_particles({"left": left, "right": right})
+            tracker.update_observation(perf_counter() - t0)
+    out = _summarise(tracker.summary())
+    out["skipped_degenerate_observations"] = skipped
+    return out
+
+
 def _summarise(s: dict) -> dict:
     return {
         "percent_localised": round(s["percent_localised"], 1),
@@ -236,6 +289,14 @@ def main():
         "LOCBENCH.json numbers exactly: replay seeds are fixed)",
     )
     ap.add_argument(
+        "--reference-filter",
+        action="store_true",
+        help="ALSO replay each committed recording through the "
+        "REFERENCE's particle filter (run in place via "
+        "tools/reference_bridge.py) and record the result as a "
+        "reference_filter column next to this repo's numbers",
+    )
+    ap.add_argument(
         "--seeds",
         type=int,
         nargs="+",
@@ -281,6 +342,18 @@ def main():
         if laps is not None:
             results[key]["laps_recorded"] = laps
             results[key]["lap_m"] = rec["lap_m"]
+        if args.reference_filter:
+            print(
+                f"[{track}] replaying through the REFERENCE filter ...",
+                flush=True,
+            )
+            results[key]["reference_filter"] = replay_track_reference(
+                track,
+                data_path,
+                rec["map_path"],
+                rec["cfg"].vehicle,
+                seed=args.seeds[0],
+            )
         print(f"[{track}] {json.dumps(results[key])}", flush=True)
 
     out_path = pathlib.Path(args.out)

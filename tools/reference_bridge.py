@@ -93,6 +93,156 @@ class SteeringGeometryStub:
         return self._max_steering_angle
 
 
+def _install_localisation_stubs(vehicle):
+    """Stub the three external packages the reference localiser imports
+    (ace vehicle data, aci system monitor, ruamel yaml) so its particle
+    filter runs IN PLACE on this host. The SteeringGeometry stub carries
+    this repo's VehicleParams steering map, so both filters integrate
+    identical motion from the same recorded controls."""
+    if "ruamel" not in sys.modules:
+        ruamel = types.ModuleType("ruamel")
+        yaml_mod = types.ModuleType("ruamel.yaml")
+
+        class _YAML:  # only imported, never used on .npy map replays
+            def load(self, f):
+                raise NotImplementedError
+
+        yaml_mod.YAML = _YAML
+        ruamel.yaml = yaml_mod
+        sys.modules["ruamel"] = ruamel
+        sys.modules["ruamel.yaml"] = yaml_mod
+    if "aci" not in sys.modules:
+        aci = types.ModuleType("aci")
+        aci_utils = types.ModuleType("aci.utils")
+        monitor = types.ModuleType("aci.utils.system_monitor")
+
+        class SystemMonitor:
+            def __init__(self, *a, **k):
+                pass
+
+            def maybe_log_function_itterations_per_second(self):
+                pass
+
+        def track_runtime(_monitor):
+            return lambda fn: fn
+
+        monitor.SystemMonitor = SystemMonitor
+        monitor.track_runtime = track_runtime
+        aci_utils.system_monitor = monitor
+        aci.utils = aci_utils
+        sys.modules["aci"] = aci
+        sys.modules["aci.utils"] = aci_utils
+        sys.modules["aci.utils.system_monitor"] = monitor
+
+    # (re)install ace with THIS vehicle's steering map — the reference
+    # converts normalised steering to road-wheel angle through it
+    # (localiser.py:148-151)
+    ace = types.ModuleType("ace")
+    steering = types.ModuleType("ace.steering")
+
+    class SteeringGeometry:
+        def __init__(self, data_path=None):
+            self.vehicle_data = SimpleNamespace(
+                wheelbase=vehicle.wheelbase, width=vehicle.width
+            )
+
+        def max_steering_angle(self):
+            return vehicle.max_steering_angle
+
+        def steering_angle(self, normalised_input):
+            return vehicle.steering_angle(float(normalised_input))
+
+    steering.SteeringGeometry = SteeringGeometry
+    ace.steering = steering
+    sys.modules["ace"] = ace
+    sys.modules["ace.steering"] = steering
+
+
+def export_reference_map(map_path, out_path) -> str:
+    """Write this repo's .npz track map in the reference's pickled-dict
+    .npy layout (utils/load.py:9-27: outside_track/inside_track/
+    centre_track, with outside->left, inside->right)."""
+    import numpy as np
+
+    ROOT = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(ROOT))
+    from acmpc_tpu.localise.track_map import load_track_map
+
+    tm = load_track_map(str(map_path))
+    out = {
+        "outside_track": np.asarray(tm.left, np.float64),
+        "inside_track": np.asarray(tm.right, np.float64),
+        "centre_track": np.asarray(tm.centre, np.float64),
+    }
+    np.save(out_path, out, allow_pickle=True)
+    return str(out_path)
+
+
+def build_reference_localiser(loc_raw: dict, ref_map_path: str, vehicle):
+    """The reference's particle filter, synchronous, on recorded time.
+
+    Imports /root/reference/src/acmpc/localisation/localiser.py and
+    constructs its Localiser/LocalisationProcess pair with the process
+    machinery stripped — the same two-subclass shim its own offline
+    benchmark uses (benchmarking/test_localiser.py:8-60: __init__ skips
+    mp.Process, _dt comes from recorded timestamps instead of wall
+    time). ``loc_raw`` is the raw ``localisation:`` dict of a benchmark
+    yaml (the schema matches the reference's config surface 1:1)."""
+    if not reference_available():
+        raise RuntimeError(f"reference not mounted at {REFERENCE_SRC}")
+    _install_stubs()
+    _install_localisation_stubs(vehicle)
+    if str(REFERENCE_SRC) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_SRC))
+    import acmpc.localisation.localiser as ref_loc
+
+    cfg = {
+        "experiment_name": "bridge",
+        "vehicle": {"data_path": "unused-stubbed"},
+        "mapping": {"map_path": str(ref_map_path)},
+        "localisation": dict(
+            loc_raw,
+            collect_benchmark_observations=False,
+            benchmark_observations_save_location="/tmp",
+        ),
+    }
+
+    class _SyncProcess(ref_loc.LocalisationProcess):
+        # test_localiser.py:52-53 — skip mp.Process.__init__
+        def __init__(self, cfg):
+            self._setup(cfg)
+
+        def _score_particles(self, observation):
+            observation = self._downsample_observations(observation)
+            particles = self._update_particles(observation)
+            self._resample_particles(particles)
+            self._update_is_converged_flag()
+
+    class _SyncLocaliser(ref_loc.Localiser):
+        # test_localiser.py:8-48 — recorded-timestamp dt
+        def __init__(self, cfg):
+            self._localiser = _SyncProcess(cfg)
+            self._last_timestamp = None
+            self.dt = 0.0
+
+        @property
+        def _dt(self):
+            return self.dt
+
+        def step_particles(self, record):
+            t = record["time"]
+            if self._last_timestamp is None:
+                self._last_timestamp = t
+            self.dt = t - self._last_timestamp
+            self._last_timestamp = t
+            self.step(record["control_command"])
+
+        def score_particles(self, observation):
+            self._localiser._score_particles(observation)
+
+    return _SyncLocaliser(cfg)
+
+
 def build_reference_mpc(control_cfg, vehicle):
     """Instantiate the reference's SpatialMPC from the repo's typed
     MPCConfig + VehicleParams (same value surface as the shipped YAMLs)."""
