@@ -110,6 +110,20 @@ class LocalisationConfig:
     # convergence_criteria.maximum_fit_error; 0 disables — round-5
     # over-confidence fix, particle_filter._update_convergence)
     localised_max_error: float = 0.0
+    # mass-based convergence (optional YAML key
+    # convergence_criteria.mass_fraction; 0 restores the reference's
+    # max-spread semantics — see particle_filter.PFConfig.convergence_mass)
+    convergence_mass: float = 0.97
+    # sharpening engagement bar (optional YAML key
+    # score_distribution.sharpen_mass — see PFConfig.sharpen_mass)
+    sharpen_mass: float = 0.8
+    # scoring window (optional YAML block `observation:`): forward crop
+    # (the reference's hard y < 50 m, localiser.py:339) and the static
+    # padded point budget per boundary. Long smooth tracks benefit from a
+    # longer window — more boundary shape per frame = more along-track
+    # observability (round-5 nordschleife work).
+    observation_forward_limit: float = 50.0
+    max_observation_points: int = 256
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LocalisationConfig":
@@ -132,6 +146,7 @@ class LocalisationConfig:
             sharpen_spread_m=cfg["score_distribution"].get(
                 "sharpen_spread_m", 150.0
             ),
+            sharpen_mass=cfg["score_distribution"].get("sharpen_mass", 0.8),
             score_centreline=cfg["score_distribution"].get(
                 "centreline", False
             ),
@@ -144,6 +159,9 @@ class LocalisationConfig:
             localised_max_error=cfg["convergence_criteria"].get(
                 "maximum_fit_error", 0.0
             ),
+            convergence_mass=cfg["convergence_criteria"].get(
+                "mass_fraction", 0.97
+            ),
             seed_from_observation=cfg.get("seeding", {}).get(
                 "from_observation", True
             ),
@@ -153,6 +171,12 @@ class LocalisationConfig:
             seed_sigma=cfg.get("seeding", {}).get("sigma", 5.0),
             seed_uniform_fraction=cfg.get("seeding", {}).get(
                 "uniform_fraction", 0.2
+            ),
+            observation_forward_limit=cfg.get("observation", {}).get(
+                "forward_limit", 50.0
+            ),
+            max_observation_points=cfg.get("observation", {}).get(
+                "max_points", 256
             ),
             collect_benchmark_observations=cfg.get(
                 "collect_benchmark_observations", False

@@ -108,6 +108,29 @@ class PFConfig:
     # percentile, the adaptive-sigma statistic) to stay under this bound
     # makes the flag honest. 0 disables.
     localised_max_error: float = 0.0
+    # -- MASS-based convergence (round-5): the reference's max-spread
+    # test requires every alias particle to DIE before the flag rises —
+    # but with observation-guided seeding nothing dies (all seeds start
+    # at plausible fits under the generous 25 m validity bar), so a
+    # filter holding 98% of its posterior mass on the true basin stays
+    # "unconverged" for a whole lap (measured on vallelunga: est_err
+    # 9.5 m at step 900, flag down until step 2574). Converged instead
+    # when >= this fraction of posterior mass lies within
+    # convergence_distance (and convergence_angle) of the estimate; the
+    # same dominance signal engages sigma sharpening, which collapses
+    # the winning basin and starves the aliases. 0 restores the
+    # reference's max-spread semantics.
+    convergence_mass: float = 0.97
+    # sharpening engagement bar (round-5): the dominance mass at which
+    # sigma calibration switches on, deliberately LOWER than
+    # convergence_mass. Measured on silverstone: the cloud equilibrates
+    # as a ~170 m worm holding 0.80-0.95 of the mass — just under the
+    # 0.97 convergence bar and just over the 150 m spread gate — for
+    # 1200+ steps; at 4:1 posterior odds the filter should commit and
+    # let the calibrated sigma collapse the winning basin (a wrong
+    # commitment is caught by the fit gate + validity culling + seeded
+    # re-reset).
+    sharpen_mass: float = 0.8
 
     @classmethod
     def from_config(cls, cfg) -> "PFConfig":
@@ -140,6 +163,10 @@ class PFConfig:
             seed_sigma=cfg.seed_sigma,
             seed_uniform_fraction=cfg.seed_uniform_fraction,
             localised_max_error=cfg.localised_max_error,
+            convergence_mass=cfg.convergence_mass,
+            sharpen_mass=cfg.sharpen_mass,
+            observation_forward_limit=cfg.observation_forward_limit,
+            max_observation_points=cfg.max_observation_points,
         )
 
 
@@ -550,6 +577,22 @@ class ParticleFilter:
                 )
             )
             one_basin = spread_v < cfg.sharpen_spread_m
+            if cfg.convergence_mass > 0:
+                # mass dominance engages sharpening too: when the
+                # incoming posterior already concentrates >= the
+                # convergence mass inside one sharpen_spread_m basin,
+                # calibrated sigma can only contract that basin — and
+                # starves the surviving low-mass aliases at ~3x/frame
+                # instead of the broad sigma's ~1.03x (the vallelunga
+                # slosh, docstring of convergence_mass)
+                w_in = jnp.where(valid, state.scores, 0.0)
+                w_in = w_in / jnp.maximum(jnp.sum(w_in), 1e-30)
+                mu_w = jnp.sum(w_in[:, None] * locs, axis=0)
+                d_w = jnp.linalg.norm(locs - mu_w, axis=1)
+                mass_near = jnp.sum(
+                    jnp.where(d_w < cfg.sharpen_spread_m, w_in, 0.0)
+                )
+                one_basin = one_basin | (mass_near >= cfg.sharpen_mass)
             sigma_eff = jnp.where(
                 state.converged | one_basin, sigma_sharp, cfg.score_sigma
             )
@@ -731,9 +774,24 @@ class ParticleFilter:
         )
         dyaw = jnp.mod(state.states[:, 2] - est[2] + jnp.pi, 2 * jnp.pi) - jnp.pi
         a = jnp.where(state.valid, jnp.abs(dyaw), -big)
-        converged = (jnp.max(d) < cfg.convergence_distance) & (
-            jnp.max(a) < cfg.convergence_angle
-        )
+        if cfg.convergence_mass > 0:
+            # mass-based test (see convergence_mass docstring): the
+            # posterior, not the worst surviving particle, decides
+            w = jnp.where(state.valid, state.scores, 0.0)
+            w = w / jnp.maximum(jnp.sum(w), 1e-30)
+            near = jnp.sum(
+                jnp.where(d < cfg.convergence_distance, w, 0.0)
+            )
+            aligned = jnp.sum(
+                jnp.where(jnp.abs(a) < cfg.convergence_angle, w, 0.0)
+            )
+            converged = (near >= cfg.convergence_mass) & (
+                aligned >= cfg.convergence_mass
+            )
+        else:
+            converged = (jnp.max(d) < cfg.convergence_distance) & (
+                jnp.max(a) < cfg.convergence_angle
+            )
         if cfg.localised_max_error > 0:
             # fit-quality gate (round-5 over-confidence fix): a tight
             # cloud whose pairing error stays high is a DISPLACED lock —

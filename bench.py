@@ -603,6 +603,10 @@ def _perception_in_loop(jax, backend) -> dict:
     d0, n_frames = sim.distance, 0
     k_speed = 0.5  # host actuation: P-term on commanded speed
     for _ in range(max_frames):
+        if _remaining_s() < 60:  # in-stage budget guard: the host-side
+            # sim render is the slow part of this loop; report the
+            # partial lap rather than blow the global deadline mid-stage
+            break
         img = jnp.asarray(obs["image"])
         t0 = time.perf_counter()
         out, diags = step(variables, out, img)

@@ -14,6 +14,9 @@ from acmpc_tpu.perception.camera import CameraInfo
 from acmpc_tpu.runtime import Agent, SyntheticSimulator
 from test_localise import make_asymmetric_map
 
+# multi-minute e2e tier: deselected by default, run via `make test`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def small_cfg(tmp_path_factory):

@@ -51,8 +51,11 @@ def test_benchmark_configs_parse():
 
     bench_dir = CONFIG_DIR / "benchmarks"
     tracks = sorted(p.stem for p in bench_dir.glob("*.yaml"))
+    # the reference's 5 benchmark tracks plus the round-5 extension to
+    # all 7 shipped maps
     assert tracks == [
-        "monza", "nordschleife", "silverstone", "spa", "vallelunga",
+        "bathurst", "monza", "nordschleife", "silverstone", "spa",
+        "vallelunga", "yas_marina",
     ]
     for t in tracks:
         raw = load_raw(bench_dir / f"{t}.yaml")

@@ -6,6 +6,11 @@ import pathlib
 
 import jax
 
+import pytest
+
+# multi-minute e2e tier: deselected by default, run via `make test`
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 

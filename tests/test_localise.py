@@ -540,3 +540,96 @@ def test_prepare_aligns_sparse_far_to_near_observation():
     orr, mr, s0r = loc._prepare(sparsify(full_r))
     new = pf.update(state, ol, ml, orr, mr, s0, s0r)
     assert int(jnp.argmax(new.scores)) == 0, np.asarray(new.scores)
+
+
+def test_seeded_reset_concentrates_near_observed_basin():
+    """Observation-guided seeding (round-5): given a clean observation
+    from a known pose, the guided share of the seed population must land
+    in basins whose boundary shape fits — including the true one — while
+    the uniform floor still covers the whole track."""
+    tm = make_asymmetric_map()
+    pf = ParticleFilter(CFG, tm)
+    state = pf.reset(jax.random.PRNGKey(0))
+    pose = np.array(
+        [
+            float(tm.centre[700, 0]),
+            float(tm.centre[700, 1]),
+            float(
+                np.arctan2(
+                    tm.centre[701, 1] - tm.centre[700, 1],
+                    tm.centre[701, 0] - tm.centre[700, 0],
+                )
+            ),
+        ],
+        np.float32,
+    )
+    left, right = observation_from_pose(tm, pose, n_points=60)
+    P = CFG.max_observation_points
+    ol, ml = _pad(left, P)
+    orr, mr = _pad(right, P)
+    seeded = jax.jit(pf._seeded_reset)(
+        state, jax.random.PRNGKey(1), ol, ml, orr, mr, 0, 0
+    )
+    assert bool(seeded.seeded) and not bool(seeded.converged)
+    d_true = np.linalg.norm(
+        np.asarray(seeded.states[:, :2]) - pose[:2], axis=1
+    )
+    frac_near = float((d_true < 100.0).mean())
+    # the true basin must get a real share of the seeds (blind uniform
+    # seeding would give it ~100m/2.6km ~ 4%)
+    assert frac_near > 0.15, f"only {frac_near:.2%} seeded near truth"
+    # and the uniform floor keeps far basins populated
+    assert float((d_true > 300.0).mean()) > 0.05
+
+
+def test_mass_convergence_ignores_low_weight_aliases():
+    """Mass-based convergence (round-5): 98% of posterior mass in one
+    basin converges even while a few low-weight alias particles survive;
+    the reference max-spread semantics (convergence_mass=0) must not."""
+    tm = make_asymmetric_map()
+    base = dataclasses.replace(CFG, localised_max_error=0.0)
+    pf = ParticleFilter(base, tm)
+    state = pf.reset(jax.random.PRNGKey(0))
+    n = base.n_particles
+    centre = np.asarray(tm.centre)
+    states = np.tile(
+        np.array([centre[100, 0], centre[100, 1], 0.0], np.float32), (n, 1)
+    )
+    states[-8:] = [centre[900, 0], centre[900, 1], 0.0]  # far aliases
+    weights = np.full((n,), 1.0, np.float32)
+    weights[-8:] = 1e-4  # starved
+    weights /= weights.sum()
+    state = state.replace(
+        states=jnp.asarray(states),
+        scores=jnp.asarray(weights),
+        valid=jnp.ones((n,), bool),
+        fit_error=jnp.asarray(0.5, jnp.float32),
+    )
+    assert bool(pf._update_convergence(state).converged)
+
+    ref = ParticleFilter(
+        dataclasses.replace(base, convergence_mass=0.0), tm
+    )
+    assert not bool(ref._update_convergence(state).converged)
+
+
+def test_fit_gate_blocks_displaced_lock():
+    """localised_max_error (round-5): the same tight cloud with a HIGH
+    achieved pairing error must not report localised."""
+    tm = make_asymmetric_map()
+    cfg = dataclasses.replace(CFG, localised_max_error=5.0)
+    pf = ParticleFilter(cfg, tm)
+    n = cfg.n_particles
+    centre = np.asarray(tm.centre)
+    states = np.tile(
+        np.array([centre[100, 0], centre[100, 1], 0.0], np.float32), (n, 1)
+    )
+    state = pf.reset(jax.random.PRNGKey(0)).replace(
+        states=jnp.asarray(states),
+        scores=jnp.full((n,), 1.0 / n),
+        valid=jnp.ones((n,), bool),
+    )
+    good = state.replace(fit_error=jnp.asarray(1.0, jnp.float32))
+    bad = state.replace(fit_error=jnp.asarray(11.0, jnp.float32))
+    assert bool(pf._update_convergence(good).converged)
+    assert not bool(pf._update_convergence(bad).converged)

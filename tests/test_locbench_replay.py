@@ -23,6 +23,9 @@ import sys
 
 import pytest
 
+# multi-minute e2e tier: deselected by default, run via `make test`
+pytestmark = pytest.mark.slow
+
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 

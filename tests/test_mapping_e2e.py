@@ -18,6 +18,9 @@ from acmpc_tpu.localise.track_map import TrackMap, load_track_map
 from acmpc_tpu.perception.camera import CameraInfo
 from acmpc_tpu.runtime import Agent, SyntheticSimulator
 
+# multi-minute e2e tier: deselected by default, run via `make test`
+pytestmark = pytest.mark.slow
+
 
 def small_loop_map(m=600):
     """Small closed loop (~330 m) so one mapping lap stays test-sized."""

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 from acmpc_tpu.cli.launch_pod import run_two_process_smoke
 
+import pytest
+
+# multi-minute e2e tier: deselected by default, run via `make test`
+pytestmark = pytest.mark.slow
+
 
 def test_two_process_gloo_pod_sweep():
     summary = run_two_process_smoke()

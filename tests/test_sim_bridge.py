@@ -26,9 +26,6 @@ from acmpc_tpu.runtime.sim_bridge import (
 )
 from test_localise import make_asymmetric_map
 
-pytestmark = pytest.mark.slow
-
-
 def _spawn_server(map_path: str, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.Popen(
@@ -107,6 +104,7 @@ def bridge_cfg(tmp_path_factory):
     return cfg, tm, map_path, tmp
 
 
+@pytest.mark.slow
 def test_agent_drives_external_process_sim(bridge_cfg):
     cfg, tm, map_path, tmp = bridge_cfg
     proc, port = _spawn_server(map_path, tmp)
