@@ -102,10 +102,13 @@ class LocalisationConfig:
     score_centreline: bool = False
     # observation-guided (re)seeding (optional YAML block `seeding:`;
     # round-5 time-to-first-fix — see particle_filter._seeded_reset)
-    seed_from_observation: bool = True
+    # measured NET NEGATIVE in round 5 (see the PFConfig
+    # seed_from_observation docstring); config-gated, default off
+    seed_from_observation: bool = False
     seed_max_candidates: int = 4096
     seed_sigma: float = 5.0
     seed_uniform_fraction: float = 0.2
+    seed_scan_frames: int = 8
     # fit-quality gate on the localised flag (optional YAML key
     # convergence_criteria.maximum_fit_error; 0 disables — round-5
     # over-confidence fix, particle_filter._update_convergence)
@@ -163,7 +166,7 @@ class LocalisationConfig:
                 "mass_fraction", 0.97
             ),
             seed_from_observation=cfg.get("seeding", {}).get(
-                "from_observation", True
+                "from_observation", False
             ),
             seed_max_candidates=cfg.get("seeding", {}).get(
                 "max_candidates", 4096
@@ -172,6 +175,7 @@ class LocalisationConfig:
             seed_uniform_fraction=cfg.get("seeding", {}).get(
                 "uniform_fraction", 0.2
             ),
+            seed_scan_frames=cfg.get("seeding", {}).get("scan_frames", 8),
             observation_forward_limit=cfg.get("observation", {}).get(
                 "forward_limit", 50.0
             ),

@@ -93,14 +93,33 @@ class PFConfig:
     # -- observation-guided (re)seeding (round-5 time-to-first-fix) ------
     # Instead of seeding the whole-track prior blind (reference
     # localiser.py:468-484) and waiting for driving to kill every alias,
-    # score EVERY map basin against the first observation (one
-    # matmul-shaped candidate sweep) and put the seed mass where the
-    # boundary shape actually fits; a uniform fraction keeps the true
-    # basin covered even when the first observation is garbage.
-    seed_from_observation: bool = True
+    # run a SHAPE-SEQUENCE SCAN: for the first ``seed_scan_frames``
+    # observations after a reset, score EVERY candidate map basin
+    # against the observation (one matmul-shaped sweep over ~
+    # seed_max_candidates strided centreline poses, each candidate
+    # ADVANCED along the centreline by the distance actually driven
+    # since the reset), accumulate the per-frame log-likelihoods, then
+    # draw the seed population from the accumulated distribution.
+    # DEFAULT OFF — measured NET NEGATIVE (round 5). Two failure modes:
+    # single-frame seeding mis-ranks basins catastrophically on noisy
+    # real-perception streams (locked monza_realperc 830 m off on 4/5
+    # seeds), and even multi-frame accumulation is systematically
+    # anti-truth: candidates are pinned to the centreline with exact
+    # track yaw while the real car corner-cuts 1-2 m off it, so on
+    # straight-dominated tracks a long-straight alias pairs any
+    # near-straight observation sub-metre for many consecutive frames
+    # and the true basin's fixed offset handicap makes its posterior
+    # mass DECAY with more evidence (monza_synth 64-frame scan:
+    # mass_true 0.009 -> 0.000 while a wrong basin accumulated 0.24).
+    # Driving-based alias culling — the reference's mechanism, kept
+    # here — discriminates better because the particles carry lateral/
+    # yaw state the candidates lack. The machinery stays config-gated
+    # for sparse-feature tracks where it may yet help.
+    seed_from_observation: bool = False
     seed_max_candidates: int = 4096
-    seed_sigma: float = 5.0  # candidate-weight scale (m of pairing error)
+    seed_sigma: float = 5.0  # per-frame candidate sigma (m pairing error)
     seed_uniform_fraction: float = 0.2
+    seed_scan_frames: int = 8
     # -- fit-quality gate on the localised flag (round-5 over-confidence
     # fix): a tight-but-displaced cloud passes the reference's
     # spread-only convergence test (localiser.py:561-570) while pairing
@@ -162,6 +181,7 @@ class PFConfig:
             seed_max_candidates=cfg.seed_max_candidates,
             seed_sigma=cfg.seed_sigma,
             seed_uniform_fraction=cfg.seed_uniform_fraction,
+            seed_scan_frames=cfg.seed_scan_frames,
             localised_max_error=cfg.localised_max_error,
             convergence_mass=cfg.convergence_mass,
             sharpen_mass=cfg.sharpen_mass,
@@ -180,6 +200,11 @@ class PFState:
     key: jnp.ndarray  # PRNG key
     seeded: jnp.ndarray  # bool: has an observation-guided seed happened
     fit_error: jnp.ndarray  # last 30th-percentile valid pairing error (m)
+    # shape-sequence scan accumulators (zeroed on every reset; only
+    # meaningful while seeded is False — see PFConfig seed_scan_frames)
+    cand_logw: jnp.ndarray  # (C,) accumulated candidate log-likelihood
+    seed_obs_count: jnp.ndarray  # i32: observations scanned so far
+    cand_shift_m: jnp.ndarray  # f32: metres driven since the reset
 
 
 class ParticleFilter:
@@ -195,12 +220,12 @@ class ParticleFilter:
         self._seed_cache = None
 
     def _seed_tables(self):
-        """Static candidate tables for observation-guided seeding: one
-        pose per (strided) centreline index, with each candidate's
-        nearest left/right boundary indices. Computed once per
+        """Static tables for the shape-sequence seeding scan: a pose and
+        nearest left/right boundary index PER CENTRELINE INDEX (full
+        resolution, so candidates can be advanced by the driven distance
+        at map granularity), plus the candidate stride. Computed once per
         (config, map) on the host (scipy cKDTree — construction-time
-        work, not in the jitted path) and closed over as constants by
-        the traced update()."""
+        work, not in the jitted path)."""
         if self._seed_cache is None:
             import numpy as np
             from scipy.spatial import cKDTree
@@ -210,34 +235,42 @@ class ParticleFilter:
             stride = max(
                 1, int(np.ceil(m / self.config.seed_max_candidates))
             )
-            idx = np.arange(0, m, stride)
-            p0 = centre[idx]
-            p1 = centre[(idx + 1) % m]
-            yaw = np.arctan2(p1[:, 1] - p0[:, 1], p1[:, 0] - p0[:, 0])
-            states = np.concatenate(
-                [p0, yaw[:, None]], axis=1
+            p1 = np.roll(centre, -1, axis=0)
+            yaw = np.arctan2(
+                p1[:, 1] - centre[:, 1], p1[:, 0] - centre[:, 0]
+            )
+            poses = np.concatenate(
+                [centre, yaw[:, None]], axis=1
             ).astype(np.float32)
             left_idx = cKDTree(np.asarray(self.map.left, np.float64)).query(
-                p0
+                centre
             )[1]
             right_idx = cKDTree(
                 np.asarray(self.map.right, np.float64)
-            ).query(p0)[1]
+            ).query(centre)[1]
             # cache NUMPY arrays: converting to jnp inside a jit trace
             # would cache per-trace tracers and leak them into the next
             # trace; jnp.asarray at the use site stages a fresh constant
             # into whichever program is being traced
             self._seed_cache = (
-                states,
+                poses,
                 left_idx.astype(np.int32),
                 right_idx.astype(np.int32),
+                stride,
             )
-        states, left_idx, right_idx = self._seed_cache
+        poses, left_idx, right_idx, stride = self._seed_cache
         return (
-            jnp.asarray(states),
+            jnp.asarray(poses),
             jnp.asarray(left_idx),
             jnp.asarray(right_idx),
+            stride,
         )
+
+    @property
+    def n_candidates(self) -> int:
+        m = self.map.centre.shape[0]
+        stride = max(1, -(-m // self.config.seed_max_candidates))
+        return -(-m // stride)
 
     # ------------------------------------------------------------------
     def reset(self, key) -> PFState:
@@ -260,34 +293,44 @@ class ParticleFilter:
             key=key,
             seeded=jnp.asarray(False),
             fit_error=jnp.asarray(jnp.inf, jnp.float32),
+            cand_logw=jnp.zeros((self.n_candidates,), jnp.float32),
+            seed_obs_count=jnp.asarray(0, jnp.int32),
+            cand_shift_m=jnp.asarray(0.0, jnp.float32),
         )
 
     # ------------------------------------------------------------------
-    def _seeded_reset(
+    def _candidate_indices(self, cand_shift_m):
+        """Current centreline index of every scan candidate: its reset
+        index advanced by the distance driven since the reset."""
+        m = self.map.centre.shape[0]
+        _, _, _, stride = self._seed_tables()
+        shift = jnp.round(
+            cand_shift_m / jnp.maximum(self.map.average_spacing, 1e-6)
+        ).astype(jnp.int32)
+        return jnp.mod(
+            jnp.arange(self.n_candidates, dtype=jnp.int32) * stride + shift,
+            m,
+        )
+
+    def _cand_frame_logscore(
         self,
-        state: PFState,
-        key,
+        cand_shift_m,
         obs_left,
         obs_left_mask,
         obs_right,
         obs_right_mask,
         left_start,
         right_start,
-    ) -> PFState:
-        """Observation-guided (re)seeding: score every candidate basin
-        against the current BEV observation and draw the seed population
-        from the resulting fit distribution (round-5 time-to-first-fix;
-        replaces driving-time alias elimination with one candidate sweep
-        — the sweep is the same pairing math as update(), just over
-        ~seed_max_candidates poses instead of n_particles).
-
-        A ``seed_uniform_fraction`` share of the population is still
-        seeded uniformly along the centreline (the reference's blind
-        prior, localiser.py:468-484) so a degenerate first observation
-        cannot leave the true basin unpopulated."""
+    ):
+        """One scan frame: log-likelihood of the observation under every
+        candidate pose (the same pairing math as update(), batched over
+        ~seed_max_candidates poses instead of n_particles)."""
         cfg = self.config
-        cand_states, cand_left, cand_right = self._seed_tables()
-        c = cand_states.shape[0]
+        poses, left_align, right_align, _ = self._seed_tables()
+        idx = self._candidate_indices(cand_shift_m)
+        cand_states = poses[idx]  # (C, 3)
+        cand_left = left_align[idx]
+        cand_right = right_align[idx]
         p = obs_left.shape[0]
 
         obs = jnp.concatenate([obs_left, obs_right], axis=0)  # (2P, 2)
@@ -313,8 +356,21 @@ class ParticleFilter:
         err = jnp.linalg.norm(obs_world - limits, axis=2)  # (C, 2P)
         denom = jnp.maximum(jnp.sum(obs_mask), 1)
         mean_err = jnp.sum(err * obs_mask[None, :], axis=1) / denom  # (C,)
+        return -0.5 * (mean_err / cfg.seed_sigma) ** 2
 
-        w = jnp.exp(-0.5 * (mean_err / cfg.seed_sigma) ** 2)
+    def _draw_from_candidates(self, state: PFState, key, logw) -> PFState:
+        """Draw the seed population from the accumulated scan
+        distribution (at the candidates' CURRENT — advanced — poses),
+        with a ``seed_uniform_fraction`` blind floor (the reference's
+        whole-track prior, localiser.py:468-484) so a garbage scan can
+        never leave the true basin unpopulated."""
+        cfg = self.config
+        poses, _, _, _ = self._seed_tables()
+        idx = self._candidate_indices(state.cand_shift_m)
+        cand_states = poses[idx]
+        c = self.n_candidates
+
+        w = jnp.exp(logw - jnp.max(logw))
         wsum = jnp.sum(w)
         w = jnp.where(wsum > 1e-20, w / jnp.maximum(wsum, 1e-30), 1.0 / c)
 
@@ -326,15 +382,11 @@ class ParticleFilter:
         # systematic draw of guided seeds over the candidate weights
         cum = jnp.cumsum(w)
         u = (jnp.arange(n_guided) + jax.random.uniform(k1)) / n_guided
-        draw = jnp.clip(
-            jnp.searchsorted(cum, u, side="right"), 0, c - 1
-        )
+        draw = jnp.clip(jnp.searchsorted(cum, u, side="right"), 0, c - 1)
         guided = cand_states[draw]
         # uniform floor: evenly spaced candidates (the blind prior)
         step = max(1, c // max(n_uniform, 1))
-        uniform = cand_states[
-            (jnp.arange(n_uniform) * step) % jnp.asarray(c)
-        ]
+        uniform = cand_states[(jnp.arange(n_uniform) * step) % jnp.asarray(c)]
         states = jnp.concatenate([guided, uniform], axis=0)
         jit_sigma = jnp.asarray(
             [cfg.sampling_noise_x, cfg.sampling_noise_y, cfg.sampling_noise_yaw]
@@ -349,6 +401,9 @@ class ParticleFilter:
             key=state.key,
             seeded=jnp.asarray(True),
             fit_error=jnp.asarray(jnp.inf, jnp.float32),
+            cand_logw=jnp.zeros((c,), jnp.float32),
+            seed_obs_count=jnp.asarray(0, jnp.int32),
+            cand_shift_m=jnp.asarray(0.0, jnp.float32),
         )
 
     # ------------------------------------------------------------------
@@ -374,7 +429,14 @@ class ParticleFilter:
             ],
             axis=1,
         )
-        return state.replace(states=state.states + x_dot * dt, key=key)
+        return state.replace(
+            states=state.states + x_dot * dt,
+            key=key,
+            # advance the seeding-scan candidates by the driven distance
+            # (only read while seeded is False)
+            cand_shift_m=state.cand_shift_m
+            + jnp.abs(jnp.asarray(velocity, jnp.float32)) * dt,
+        )
 
     # ------------------------------------------------------------------
     def update(
@@ -408,24 +470,38 @@ class ParticleFilter:
         )
 
         if cfg.seed_from_observation:
-            # first observation after a blind reset(): replace the
-            # uniform prior with the observation-guided seed before
-            # scoring (lax.cond — the candidate sweep only runs when a
-            # seed is actually due)
+            # shape-sequence seeding scan (PFConfig.seed_scan_frames):
+            # while unseeded, fold this observation into the candidate
+            # log-likelihoods; on the final scan frame, replace the blind
+            # prior population with the accumulated-distribution draw
+            # BEFORE scoring, so the new seeds are scored immediately.
+            # lax.cond keeps the candidate sweep off the steady-state
+            # path.
             key0, seed_key0 = jax.random.split(state.key)
-            state = jax.lax.cond(
-                state.seeded,
-                lambda st: st,
-                lambda st: self._seeded_reset(
-                    st.replace(key=key0),
-                    seed_key0,
+
+            def scan_step(st: PFState) -> PFState:
+                logw = st.cand_logw + self._cand_frame_logscore(
+                    st.cand_shift_m,
                     obs_left,
                     obs_left_mask,
                     obs_right,
                     obs_right_mask,
                     left_start,
                     right_start,
-                ),
+                )
+                logw = logw - jnp.max(logw)
+                cnt = st.seed_obs_count + 1
+                return jax.lax.cond(
+                    cnt >= cfg.seed_scan_frames,
+                    lambda s: self._draw_from_candidates(s, seed_key0, logw),
+                    lambda s: s.replace(cand_logw=logw, seed_obs_count=cnt),
+                    st,
+                )
+
+            state = jax.lax.cond(
+                state.seeded,
+                lambda st: st,
+                scan_step,
                 state.replace(key=key0),
             )
         states = state.states
@@ -631,19 +707,12 @@ class ParticleFilter:
         state = state.replace(key=key)
 
         def do_reset(_):
-            if cfg.seed_from_observation:
-                # population collapse: re-seed from THIS observation
-                # instead of the blind whole-track prior
-                return self._seeded_reset(
-                    state.replace(key=key),
-                    reset_key,
-                    obs_left,
-                    obs_left_mask,
-                    obs_right,
-                    obs_right_mask,
-                    left_start,
-                    right_start,
-                )
+            # population collapse: back to the blind whole-track prior
+            # (reference localiser.py:468-484). With seeding enabled the
+            # reset also restarts the shape-sequence scan (reset() zeroes
+            # the scan accumulators), so the next seed_scan_frames
+            # observations re-derive the basin distribution instead of
+            # trusting the single frame that just killed the population.
             return self.reset(reset_key).replace(
                 previously_converged=state.previously_converged, key=key
             )

@@ -141,18 +141,25 @@ def test_population_collapse_triggers_reset():
     cfg = dataclasses.replace(CFG, threshold_error=0.01)  # impossible bar
     pf = ParticleFilter(cfg, tm)
     state = pf.reset(jax.random.PRNGKey(2))
-    # garbage observation -> all particles invalid -> reset. The
-    # observation-guided reseed falls back to a uniform candidate draw
-    # (no candidate fits garbage) with sampling-noise jitter, so the
-    # population lands near — not exactly on — the centreline.
+    # garbage observation -> all particles invalid -> reset. The points
+    # must sit INSIDE the 50 m forward crop (y < observation_forward
+    # _limit) to be scored at all: a fully-cropped observation has an
+    # empty mask, mean_err 0, and nothing dies (the pre-round-5 version
+    # of this test used y=1000 points and was green only because the
+    # unculled centreline prior satisfied the assertion).
     P = cfg.max_observation_points
-    obs = jnp.ones((P, 2), jnp.float32) * 1e3
+    obs = jnp.stack(
+        [jnp.full((P,), 500.0), jnp.linspace(5.0, 45.0, P)], axis=1
+    ).astype(jnp.float32)
     mask = jnp.ones((P,), bool)
     new = jax.jit(pf.update)(state, obs, mask, obs, mask)
     d, _ = nearest_point(new.states[:, :2], tm.centre)
-    assert float(jnp.max(d)) < 6.0  # ~4.5 sigma of the 1.1 m jitter
+    assert float(jnp.max(d)) < 1.0  # blind whole-track re-seed
     assert bool(new.valid.all())
-    assert bool(new.seeded)
+    # the collapse also restarted the seeding scan: the garbage frame's
+    # candidate scores must not be trusted
+    assert not bool(new.seeded)
+    assert int(new.seed_obs_count) == 0
 
     # blind-reset path (reference localiser.py:468-484 semantics): exact
     # centreline re-seed when observation-guided seeding is disabled
@@ -542,13 +549,16 @@ def test_prepare_aligns_sparse_far_to_near_observation():
     assert int(jnp.argmax(new.scores)) == 0, np.asarray(new.scores)
 
 
-def test_seeded_reset_concentrates_near_observed_basin():
-    """Observation-guided seeding (round-5): given a clean observation
-    from a known pose, the guided share of the seed population must land
-    in basins whose boundary shape fits — including the true one — while
-    the uniform floor still covers the whole track."""
+def test_seeding_scan_concentrates_near_observed_basin():
+    """Shape-sequence seeding (round-5): after seed_scan_frames clean
+    observations from a known (static) pose, the guided share of the
+    seed population must land in basins whose boundary shape fits —
+    including the true one — while the uniform floor still covers the
+    whole track."""
     tm = make_asymmetric_map()
-    pf = ParticleFilter(CFG, tm)
+    pf = ParticleFilter(
+        dataclasses.replace(CFG, seed_from_observation=True), tm
+    )
     state = pf.reset(jax.random.PRNGKey(0))
     pose = np.array(
         [
@@ -567,19 +577,20 @@ def test_seeded_reset_concentrates_near_observed_basin():
     P = CFG.max_observation_points
     ol, ml = _pad(left, P)
     orr, mr = _pad(right, P)
-    seeded = jax.jit(pf._seeded_reset)(
-        state, jax.random.PRNGKey(1), ol, ml, orr, mr, 0, 0
-    )
-    assert bool(seeded.seeded) and not bool(seeded.converged)
+    update = jax.jit(pf.update)
+    for k in range(CFG.seed_scan_frames):
+        assert not bool(state.seeded), f"seeded early at frame {k}"
+        state = update(state, ol, ml, orr, mr)
+    assert bool(state.seeded) and int(state.seed_obs_count) == 0
     d_true = np.linalg.norm(
-        np.asarray(seeded.states[:, :2]) - pose[:2], axis=1
+        np.asarray(state.states[:, :2]) - pose[:2], axis=1
     )
     frac_near = float((d_true < 100.0).mean())
     # the true basin must get a real share of the seeds (blind uniform
     # seeding would give it ~100m/2.6km ~ 4%)
     assert frac_near > 0.15, f"only {frac_near:.2%} seeded near truth"
     # and the uniform floor keeps far basins populated
-    assert float((d_true > 300.0).mean()) > 0.05
+    assert float((d_true > 300.0).mean()) > 0.02
 
 
 def test_mass_convergence_ignores_low_weight_aliases():
