@@ -55,7 +55,17 @@ BASE = {
             "minimum_particles": 20, "track_limit": 20.0,
         },
         "score_distribution": {"mean": 0, "sigma": 10},
-        "convergence_criteria": {"maximum_distance": 50, "maximum_angle": 90},
+        # maximum_fit_error (round-5 addition over the reference schema):
+        # the localised flag also requires the population's achieved
+        # pairing error under 2.5 m — correct locks measure p90 <= 2.26
+        # (oracle p99 <= 1.18), displaced along-track locks measure
+        # p50 >= 2.77, so the bound separates them cleanly
+        # (particle_filter.PFConfig.localised_max_error)
+        "convergence_criteria": {
+            "maximum_distance": 50,
+            "maximum_angle": 90,
+            "maximum_fit_error": 2.5,
+        },
     },
     "racing": {
         "control": {
