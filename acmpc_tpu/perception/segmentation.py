@@ -49,7 +49,17 @@ class TrackSegmenter:
         p = pathlib.Path(path)
         if not p.exists():
             # no shipped assets (the reference downloads them at install
-            # time); initialise randomly so the pipeline stays runnable
+            # time); initialise randomly so the pipeline stays runnable —
+            # but LOUDLY: a silently random model segments garbage, and a
+            # stale config path cost half a round-5 day to diagnose
+            import warnings
+
+            warnings.warn(
+                f"segmentation checkpoint {p} does not exist: "
+                "initialising RANDOM weights (every mask will be "
+                "garbage). Fix perception.model_path.",
+                stacklevel=2,
+            )
             key = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, 64, 64, 3), self._dtype)
             return self.model.init(key, dummy)

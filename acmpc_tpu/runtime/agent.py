@@ -67,13 +67,13 @@ class Agent:
         # persistent XLA compilation cache: the agent's jitted programs
         # (MPC solve, perception pipeline) compile once per machine, not
         # once per session — the analogue of the reference's serialized
-        # TensorRT engines for the whole stack
+        # TensorRT engines for the whole stack. Keyed per backend (and
+        # per host-CPU fingerprint on CPU) so a migrated VM never loads
+        # another host's AOT code — see utils/compile_cache.py.
         try:
-            import jax
+            from acmpc_tpu.utils.compile_cache import enable_compile_cache
 
-            jax.config.update(
-                "jax_compilation_cache_dir", "/tmp/acmpc_jit_cache"
-            )
+            enable_compile_cache()
         except Exception:
             pass
         np.random.seed(self.cfg.seed)

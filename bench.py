@@ -83,18 +83,14 @@ def _enable_compile_cache() -> None:
     """Persistent XLA compile cache (shared with the agent runtime,
     acmpc_tpu/runtime/agent.py): the headline B=256 fused step took 10
     minutes to compile cold through the TPU tunnel in round 4 — cached,
-    it loads in seconds."""
-    import jax
+    it loads in seconds.
 
-    for key, val in (
-        ("jax_compilation_cache_dir", "/tmp/acmpc_jit_cache"),
-        ("jax_persistent_cache_min_compile_time_secs", 1.0),
-        ("jax_persistent_cache_min_entry_size_bytes", 0),
-    ):
-        try:
-            jax.config.update(key, val)
-        except Exception:
-            pass
+    Cache keying (per backend, per host-CPU fingerprint on CPU — a
+    migrated VM must never load another host's AOT code):
+    utils/compile_cache.py."""
+    from acmpc_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
 
 def _cpu_baseline_solves_per_s() -> tuple[float, str]:

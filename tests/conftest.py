@@ -16,15 +16,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent XLA compile cache shared across test runs (and with the
-# agent runtime / bench, which use the same dir): the e2e tiers spend
-# most of their wall clock compiling the same programs every run.
-for _key, _val in (
-    ("jax_compilation_cache_dir", "/tmp/acmpc_jit_cache"),
-    ("jax_persistent_cache_min_compile_time_secs", 1.0),
-    ("jax_persistent_cache_min_entry_size_bytes", 0),
-):
-    try:
-        jax.config.update(_key, _val)
-    except Exception:
-        pass
+# NO persistent XLA compile cache for tests. Round 5 measured the
+# hazard: this sandbox is a VM that can migrate between physical hosts
+# mid-session, and XLA:CPU AOT cache entries compiled on a host with
+# different CPU features load with only a warning and produce SILENTLY
+# WRONG numerics (the shipped FPN checkpoint scored IoU 0.000 against
+# its own training masks from a stale cache entry). Correctness over
+# compile time here; the TPU-side bench/agent keep a per-backend cache
+# (TPU executables are not host-CPU-feature dependent).

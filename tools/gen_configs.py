@@ -219,7 +219,13 @@ def main():
     for track, overrides in TRACKS.items():
         cfg = copy.deepcopy(BASE)
         cfg["experiment"] = f"{track}_audi"
-        cfg["perception"]["model_path"] = f"data/models/{track}_fpn_resnet18.msgpack"
+        # the SHIPPED trained checkpoint (tools/train_segmenter.py) — one
+        # synthetic-texture model shared across tracks. (A stale per-track
+        # path here once regenerated configs pointing at nonexistent
+        # files; the segmenter then silently fell back to random weights.)
+        cfg["perception"]["model_path"] = (
+            "data/models/segmentation/synthetic_fpn.msgpack"
+        )
         cfg["mapping"]["map_path"] = f"data/maps/{track}.npz"
         for section, entries in overrides.items():
             for dotted, value in entries.items():
